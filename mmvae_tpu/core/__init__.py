@@ -1,0 +1,30 @@
+"""Core math library: PoE fusion, sampling, likelihoods, ELBO, annealing.
+
+This is the heart of the framework (SURVEY.md section 7 stage 1); everything
+else is plumbing around these pure-jnp functions.
+"""
+
+from mmvae_tpu.core.poe import product_of_experts, prior_expert
+from mmvae_tpu.core.sampling import reparameterize
+from mmvae_tpu.core.likelihoods import (
+    bernoulli_nll,
+    categorical_nll,
+    gaussian_nll,
+)
+from mmvae_tpu.core.elbo import kl_std_normal, elbo_terms
+from mmvae_tpu.core.annealing import annealing_factor
+from mmvae_tpu.core.subsets import elbo_subset_masks, random_subset_masks
+
+__all__ = [
+    "product_of_experts",
+    "prior_expert",
+    "reparameterize",
+    "bernoulli_nll",
+    "categorical_nll",
+    "gaussian_nll",
+    "kl_std_normal",
+    "elbo_terms",
+    "annealing_factor",
+    "elbo_subset_masks",
+    "random_subset_masks",
+]
