@@ -1,0 +1,333 @@
+"""Public API: train, eval_elbo, sample, generate (reference parity [B:5]).
+
+The reference exposes these four capabilities through per-experiment
+``train.py`` / ``sample.py`` scripts (SURVEY.md 2.11-2.13); here they are
+one parameterized API over the five experiment configs, with Orbax
+checkpointing wired through all four (SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmvae_tpu.configs import ExperimentConfig, build_model, get_config
+from mmvae_tpu.data import epoch_batches, load_dataset, sample_presence
+from mmvae_tpu.core import product_of_experts, reparameterize
+from mmvae_tpu.parallel import make_mesh, replicate, shard_batch
+from mmvae_tpu.train import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from mmvae_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from mmvae_tpu.train.metrics import AverageMeter, MetricsWriter
+
+__all__ = ["train", "eval_elbo", "sample", "generate", "TrainResult"]
+
+
+def _resolve(config) -> ExperimentConfig:
+    return get_config(config) if isinstance(config, str) else config
+
+
+class TrainResult(NamedTuple):
+    config: ExperimentConfig
+    model: Any
+    state: Any
+    best_test_elbo: float
+    history: list[dict[str, float]]
+
+
+def train(
+    config: str | ExperimentConfig,
+    workdir: str | None = None,
+    *,
+    seed: int = 0,
+    dtype=jnp.float32,
+    use_mesh: bool = True,
+    resume: bool = False,
+    verbose: bool = True,
+) -> TrainResult:
+    """Train an experiment config; checkpoint each epoch, track best.
+
+    Mirrors the reference training loop (SURVEY.md 3a): per-epoch train
+    pass with KL annealing, test-ELBO eval, best-model checkpointing --
+    but as one jitted multi-term step over a data-parallel mesh.
+    """
+    config = _resolve(config)
+    model = build_model(config, dtype=dtype)
+    mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
+
+    train_ds = load_dataset(config.dataset, "train", n=config.train_size)
+    test_ds = load_dataset(config.dataset, "test", n=config.test_size)
+    steps_per_epoch = train_ds.size // config.batch_size
+    annealing_steps = config.annealing_epochs * steps_per_epoch
+
+    rng = jax.random.key(seed)
+    init_batch = {
+        k: v[: config.batch_size] for k, v in train_ds.arrays.items()
+    }
+    state = create_train_state(
+        model, init_batch, rng, config.learning_rate
+    )
+    start_epoch = 1
+    best = float("inf")
+    if resume and workdir is not None:
+        from mmvae_tpu.train.checkpoint import latest_epoch
+
+        if latest_epoch(workdir) is not None:
+            state, extra = load_checkpoint(workdir, state, which="last")
+            start_epoch = int(extra.get("epoch", 0)) + 1
+            best = float(extra.get("best_test_elbo", best))
+    if mesh is not None:
+        state = replicate(state, mesh)
+
+    train_step = make_train_step(
+        model,
+        n_random_subsets=config.n_random_subsets,
+        annealing_steps=annealing_steps,
+    )
+    writer = MetricsWriter(workdir) if workdir is not None else None
+    np_rng = np.random.default_rng(seed)
+    drop_rng = jax.random.key(seed + 1)
+
+    history: list[dict[str, float]] = []
+    for epoch in range(start_epoch, config.epochs + 1):
+        meter = AverageMeter()
+        for i, batch in enumerate(
+            epoch_batches(train_ds, config.batch_size, np_rng)
+        ):
+            if config.p_modality_drop > 0.0:
+                drop_rng, sub = jax.random.split(drop_rng)
+                presence = sample_presence(
+                    sub,
+                    config.batch_size,
+                    model.n_modalities,
+                    config.p_modality_drop,
+                )
+                if presence is not None:
+                    batch = dict(batch, presence=presence)
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            state, metrics = train_step(state, batch)
+            meter.update(float(metrics["loss"]), config.batch_size)
+            if writer and (i % config.log_interval == 0):
+                writer.write(
+                    {
+                        "kind": "train",
+                        "epoch": epoch,
+                        "step": int(state.step),
+                        "loss": metrics["loss"],
+                        "beta": metrics["beta"],
+                        "elbo_per_term": metrics["elbo_per_term"],
+                        "kl_per_term": metrics["kl_per_term"],
+                        "recon_per_term": metrics["recon_per_term"],
+                    }
+                )
+        test_elbo = eval_elbo(
+            config, model=model, params=state.params, dataset=test_ds
+        )
+        is_best = test_elbo < best
+        best = min(best, test_elbo)
+        record = {
+            "epoch": epoch,
+            "train_loss": meter.avg,
+            "test_elbo": test_elbo,
+        }
+        history.append(record)
+        if writer:
+            writer.write({"kind": "eval", **record})
+        if verbose:
+            print(
+                f"[{config.name}] epoch {epoch:3d} "
+                f"train {meter.avg:10.2f} test {test_elbo:10.2f}"
+                + (" *best*" if is_best else "")
+            )
+        if workdir is not None:
+            save_checkpoint(
+                workdir,
+                state,
+                epoch,
+                is_best=is_best,
+                extra={"best_test_elbo": best},
+            )
+    if writer:
+        writer.close()
+    return TrainResult(config, model, state, best, history)
+
+
+def eval_elbo(
+    config: str | ExperimentConfig,
+    *,
+    model=None,
+    params=None,
+    workdir: str | None = None,
+    dataset=None,
+    split: str = "test",
+    batch_size: int | None = None,
+    dtype=jnp.float32,
+) -> float:
+    """Mean multi-term ELBO over a split -- the parity metric [B:2].
+
+    beta pinned to 1, z = posterior mean (SURVEY.md 3c). Provide either
+    ``params`` (+ ``model``) or a ``workdir`` with a checkpoint.
+    """
+    config = _resolve(config)
+    if model is None:
+        model = build_model(config, dtype=dtype)
+    if params is None:
+        if workdir is None:
+            raise ValueError("need params or workdir")
+        params = _load_params(config, model, workdir)
+    if dataset is None:
+        dataset = load_dataset(config.dataset, split, n=config.test_size)
+    batch_size = batch_size or config.batch_size
+    eval_step = make_eval_step(model)
+    meter = AverageMeter()
+    for batch in epoch_batches(dataset, batch_size):
+        metrics = eval_step(params, batch)
+        meter.update(float(metrics["loss"]), batch_size)
+    return meter.avg
+
+
+def _load_params(config, model, workdir, which: str = "best"):
+    state = create_train_state(
+        model, model.dummy_batch(2), jax.random.key(0),
+        config.learning_rate,
+    )
+    state, _ = load_checkpoint(workdir, state, which=which)
+    return state.params
+
+
+def _postprocess(model, params, recons, z, rng, temperature):
+    """Decode-dict -> user-facing arrays per likelihood kind."""
+    kinds = model.decode_kinds()
+    out = {}
+    for key, value in recons.items():
+        kind = kinds.get(key, "bernoulli")
+        if kind == "bernoulli":
+            out[key] = jax.nn.sigmoid(value)
+        elif kind == "categorical":
+            out[key] = jnp.argmax(value, axis=-1)
+        else:
+            out[key] = value
+    for spec in model.specs():
+        if spec.kind == "seq":
+            rng, sub = jax.random.split(rng)
+            out[spec.name] = model.apply(
+                {"params": params},
+                z,
+                sub,
+                temperature,
+                method="generate_text",
+            )
+    return out
+
+
+def sample(
+    config: str | ExperimentConfig,
+    n: int = 64,
+    *,
+    model=None,
+    params=None,
+    workdir: str | None = None,
+    seed: int = 0,
+    temperature: float = 1.0,
+    dtype=jnp.float32,
+) -> dict[str, Any]:
+    """Unconditional samples: z ~ N(0, I) decoded into every modality.
+
+    The reference's ``sample.py`` with no conditioning flags
+    (SURVEY.md 3d) -- PoE of the prior expert alone.
+    """
+    return generate(
+        config,
+        condition={},
+        n=n,
+        model=model,
+        params=params,
+        workdir=workdir,
+        seed=seed,
+        temperature=temperature,
+        sample_z=True,
+        dtype=dtype,
+    )
+
+
+def generate(
+    config: str | ExperimentConfig,
+    condition: dict[str, Any],
+    *,
+    n: int | None = None,
+    model=None,
+    params=None,
+    workdir: str | None = None,
+    seed: int = 0,
+    sample_z: bool = False,
+    temperature: float = 1.0,
+    dtype=jnp.float32,
+) -> dict[str, Any]:
+    """Cross-modal generation from any modality subset (SURVEY.md 3d).
+
+    ``condition`` maps modality names to observed arrays (may be empty ->
+    prior sampling). The observed experts are fused with the prior via
+    PoE; z is the posterior mean (or a sample when ``sample_z``); ALL
+    modalities are decoded. CelebA accepts either ``attrs`` (all 18) or
+    individual ``attr_i`` keys, matching its per-attribute experts.
+    """
+    config = _resolve(config)
+    if model is None:
+        model = build_model(config, dtype=dtype)
+    if params is None:
+        if workdir is None:
+            raise ValueError("need params or workdir")
+        params = _load_params(config, model, workdir)
+
+    names = [s.name for s in model.specs()]
+    # CelebA-style stacked keys: "attrs" conditions all attr_i experts.
+    cond = dict(condition)
+    stacked_attrs = cond.pop("attrs", None)
+    if n is None:
+        some = stacked_attrs if stacked_attrs is not None else None
+        for v in cond.values():
+            some = v
+            break
+        n = 1 if some is None else int(np.asarray(some).shape[0])
+
+    batch = {k: jnp.asarray(v) for k, v in model.dummy_batch(n).items()}
+    presence = np.zeros((n, len(names)), np.float32)
+    name_idx = {nm: i for i, nm in enumerate(names)}
+    for key, value in cond.items():
+        if key in name_idx and key.startswith("attr_") and "attrs" in batch:
+            # Individual per-attribute conditioning (CelebA).
+            a = int(key.split("_")[1])
+            batch["attrs"] = batch["attrs"].at[:, a].set(
+                jnp.asarray(value, jnp.float32)
+            )
+            presence[:, name_idx[key]] = 1.0
+            continue
+        if key not in batch:
+            raise ValueError(f"unknown modality {key!r}; have {list(batch)}")
+        batch[key] = jnp.asarray(value)
+        if key in name_idx:
+            presence[:, name_idx[key]] = 1.0
+    if stacked_attrs is not None:
+        batch["attrs"] = jnp.asarray(stacked_attrs, jnp.float32)
+        for nm, i in name_idx.items():
+            if nm.startswith("attr_"):
+                presence[:, i] = 1.0
+
+    rng = jax.random.key(seed)
+    variables = {"params": params}
+    mu_e, lv_e = model.apply(variables, batch, method="encode")
+    mu, logvar = product_of_experts(
+        mu_e, lv_e, mask=jnp.asarray(presence)
+    )
+    rng, z_rng = jax.random.split(rng)
+    z = reparameterize(z_rng, mu, logvar, sample=sample_z)
+    recons = model.apply(variables, z, None, method="decode")
+    return _postprocess(model, params, recons, z, rng, temperature)

@@ -1,0 +1,184 @@
+"""CLI entry point: ``python -m mmvae_tpu.cli <cmd> --config mnist ...``.
+
+One parameterized CLI replacing the reference's per-experiment
+``train.py`` / ``sample.py`` scripts, with the same flags
+(SURVEY.md 2.11: --n-latents --epochs --lr --annealing-epochs
+--batch-size --log-interval) plus config selection and conditioning
+flags for cross-modal generation (SURVEY.md 2.13).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--config", required=True,
+        choices=["mnist", "fashionmnist", "multimnist", "celeba", "cub"],
+    )
+    p.add_argument("--workdir", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--dtype", default="float32", choices=["float32", "bfloat16"],
+        help="compute dtype for the experts (params stay float32)",
+    )
+
+
+def _overrides(args, config):
+    for field in (
+        "n_latents", "epochs", "batch_size", "annealing_epochs",
+        "log_interval", "train_size", "test_size", "n_random_subsets",
+    ):
+        v = getattr(args, field, None)
+        if v is not None:
+            config = config.replace(**{field: v})
+    if getattr(args, "lr", None) is not None:
+        config = config.replace(learning_rate=args.lr)
+    if getattr(args, "p_modality_drop", None) is not None:
+        config = config.replace(p_modality_drop=args.p_modality_drop)
+    return config
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="mmvae-tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    pt = sub.add_parser("train", help="train an experiment config")
+    _add_common(pt)
+    pt.add_argument("--n-latents", dest="n_latents", type=int)
+    pt.add_argument("--epochs", type=int)
+    pt.add_argument("--lr", type=float)
+    pt.add_argument("--batch-size", dest="batch_size", type=int)
+    pt.add_argument(
+        "--annealing-epochs", dest="annealing_epochs", type=int
+    )
+    pt.add_argument("--log-interval", dest="log_interval", type=int)
+    pt.add_argument("--train-size", dest="train_size", type=int)
+    pt.add_argument("--test-size", dest="test_size", type=int)
+    pt.add_argument(
+        "--n-random-subsets", dest="n_random_subsets", type=int
+    )
+    pt.add_argument(
+        "--p-modality-drop", dest="p_modality_drop", type=float
+    )
+    pt.add_argument("--resume", action="store_true")
+    pt.add_argument(
+        "--no-mesh", action="store_true",
+        help="disable the data-parallel mesh even with >1 device",
+    )
+
+    pe = sub.add_parser("eval", help="test-split ELBO from a checkpoint")
+    _add_common(pe)
+    pe.add_argument("--split", default="test", choices=["train", "test"])
+    pe.add_argument("--test-size", dest="test_size", type=int)
+    pe.add_argument("--n-latents", dest="n_latents", type=int)
+
+    ps = sub.add_parser("sample", help="prior samples from a checkpoint")
+    _add_common(ps)
+    ps.add_argument("--n", type=int, default=64)
+    ps.add_argument("--temperature", type=float, default=1.0)
+    ps.add_argument("--out", default=None, help="write samples to .npz")
+    ps.add_argument("--n-latents", dest="n_latents", type=int)
+
+    pg = sub.add_parser(
+        "generate", help="cross-modal generation from a modality subset"
+    )
+    _add_common(pg)
+    pg.add_argument(
+        "--condition-on", action="append", default=[],
+        metavar="MODALITY=NPYFILE",
+        help="e.g. --condition-on image=img.npy (repeatable); "
+        "label/attr values may be given inline: label=3, attr_6=1",
+    )
+    pg.add_argument("--n", type=int, default=None)
+    pg.add_argument("--sample-z", action="store_true")
+    pg.add_argument("--temperature", type=float, default=1.0)
+    pg.add_argument("--out", default=None)
+    pg.add_argument("--n-latents", dest="n_latents", type=int)
+
+    args = parser.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from mmvae_tpu import api
+    from mmvae_tpu.configs import get_config
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    config = _overrides(args, get_config(args.config))
+
+    if args.cmd == "train":
+        result = api.train(
+            config,
+            args.workdir,
+            seed=args.seed,
+            dtype=dtype,
+            use_mesh=not args.no_mesh,
+            resume=args.resume,
+        )
+        print(json.dumps({"best_test_elbo": result.best_test_elbo}))
+        return 0
+
+    if args.cmd == "eval":
+        elbo = api.eval_elbo(
+            config, workdir=args.workdir, split=args.split, dtype=dtype
+        )
+        print(json.dumps({"split": args.split, "elbo": elbo}))
+        return 0
+
+    if args.cmd == "sample":
+        out = api.sample(
+            config,
+            n=args.n,
+            workdir=args.workdir,
+            seed=args.seed,
+            temperature=args.temperature,
+            dtype=dtype,
+        )
+        _dump(out, args.out)
+        return 0
+
+    if args.cmd == "generate":
+        condition = {}
+        for spec in args.condition_on:
+            key, _, val = spec.partition("=")
+            if os.path.exists(val):
+                condition[key] = np.load(val)
+            else:
+                condition[key] = np.asarray(
+                    json.loads(val)
+                )  # inline scalar / list
+                if condition[key].ndim == 0:
+                    condition[key] = condition[key][None]
+        out = api.generate(
+            config,
+            condition,
+            n=args.n,
+            workdir=args.workdir,
+            seed=args.seed,
+            sample_z=args.sample_z,
+            temperature=args.temperature,
+            dtype=dtype,
+        )
+        _dump(out, args.out)
+        return 0
+
+    return 1
+
+
+def _dump(out: dict, path: str | None) -> None:
+    shapes = {k: list(np.asarray(v).shape) for k, v in out.items()}
+    if path:
+        np.savez(path, **{k: np.asarray(v) for k, v in out.items()})
+        print(json.dumps({"written": path, "shapes": shapes}))
+    else:
+        print(json.dumps({"shapes": shapes}))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,94 @@
+"""The five experiment configs (reference parity, [B:6-12] / SURVEY.md 2).
+
+One dataclass config per experiment plus a single parameterized entry
+point, replacing the reference's copy-of-train.py-per-experiment layout
+(SURVEY.md section 5, config row). CLI flags override any field.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+
+from mmvae_tpu.data.synthetic import cub_vocab
+from mmvae_tpu.models import (
+    CelebAMVAE,
+    CubMVAE,
+    FashionMnistMVAE,
+    MnistMVAE,
+    MultiMnistMVAE,
+)
+
+__all__ = ["ExperimentConfig", "CONFIGS", "get_config", "build_model"]
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    """Hyperparameters of one experiment (reference CLI flags, SURVEY 2.11)."""
+
+    name: str
+    dataset: str
+    n_latents: int
+    epochs: int = 20
+    batch_size: int = 100
+    learning_rate: float = 1e-3
+    annealing_epochs: int = 10  # --annealing-epochs (SURVEY.md 2.9)
+    n_random_subsets: int = 0  # k sub-sampled modality combinations [B:5]
+    p_modality_drop: float = 0.0  # data-side modality dropout [B:5]
+    train_size: int = 10000
+    test_size: int = 2000
+    log_interval: int = 100
+    model_kwargs: dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    def replace(self, **kw) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+
+CONFIGS: dict[str, ExperimentConfig] = {
+    # 1. MVAE on MNIST image+label -- MLP encoders, PoE, full ELBO [B:7]
+    "mnist": ExperimentConfig(
+        name="mnist", dataset="mnist", n_latents=64,
+        annealing_epochs=10,
+    ),
+    # 2. FashionMNIST bimodal -- conv image encoder + label expert [B:8]
+    "fashionmnist": ExperimentConfig(
+        name="fashionmnist", dataset="fashionmnist", n_latents=64,
+    ),
+    # 3. MultiMNIST -- conv encoder + digit-string sequence decoder [B:9]
+    "multimnist": ExperimentConfig(
+        name="multimnist", dataset="multimnist", n_latents=64,
+    ),
+    # 4. CelebA image + 18 attrs -- per-attribute experts, k subsets [B:10]
+    "celeba": ExperimentConfig(
+        name="celeba", dataset="celeba", n_latents=100,
+        batch_size=64, n_random_subsets=4,
+    ),
+    # 5. CUB images + captions -- conv + text experts, largest [B:11]
+    "cub": ExperimentConfig(
+        name="cub", dataset="cub", n_latents=128, batch_size=64,
+    ),
+}
+
+_MODEL_CLASSES = {
+    "mnist": MnistMVAE,
+    "fashionmnist": FashionMnistMVAE,
+    "multimnist": MultiMnistMVAE,
+    "celeba": CelebAMVAE,
+    "cub": CubMVAE,
+}
+
+
+def get_config(name: str) -> ExperimentConfig:
+    if name not in CONFIGS:
+        raise ValueError(f"unknown config {name!r}; have {list(CONFIGS)}")
+    return CONFIGS[name]
+
+
+def build_model(config: ExperimentConfig, dtype=jnp.float32):
+    cls = _MODEL_CLASSES[config.name]
+    kwargs = dict(config.model_kwargs)
+    if config.name == "cub" and "vocab_size" not in kwargs:
+        kwargs["vocab_size"] = len(cub_vocab())
+    return cls(n_latents=config.n_latents, dtype=dtype, **kwargs)

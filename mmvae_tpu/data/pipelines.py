@@ -1,0 +1,124 @@
+"""Input pipelines: device-resident datasets, batching, modality dropout.
+
+TPU-native design (vs the reference's host-side DataLoader workers,
+SURVEY.md 2.10): these datasets fit in HBM, so the whole epoch lives on
+device and every batch is an on-device gather by a shuffled index vector --
+zero host->device transfer in the steady-state hot loop, which is what the
+>=10x-CPU throughput target rides on ([B:2]). Real data, when present
+under ``$MMVAE_DATA_DIR/<name>/{split}.npz``, is loaded with identical
+shapes; otherwise the seeded synthetic generators are used
+(``mmvae_tpu.data.synthetic``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Iterator, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmvae_tpu.data import synthetic
+
+__all__ = ["Dataset", "load_dataset", "epoch_batches", "sample_presence"]
+
+
+class Dataset(NamedTuple):
+    """A device-resident modality dict + size."""
+
+    arrays: dict[str, jnp.ndarray]
+    size: int
+
+    def take_host(self, idx) -> dict[str, np.ndarray]:
+        return {k: np.asarray(v[idx]) for k, v in self.arrays.items()}
+
+
+_GENERATORS = {
+    "mnist": synthetic.make_mnist,
+    "fashionmnist": synthetic.make_fashionmnist,
+    "multimnist": synthetic.make_multimnist,
+    "celeba": synthetic.make_celeba,
+    "cub": synthetic.make_cub,
+}
+
+
+def load_dataset(
+    name: str,
+    split: str = "train",
+    n: int | None = None,
+    seed: int | None = None,
+    device_put: bool = True,
+    sharding=None,
+) -> Dataset:
+    """Load real data if present, else generate synthetic.
+
+    ``split`` only affects the synthetic seed (train/test are disjoint
+    draws) and the real-data filename. ``sharding`` optionally places the
+    arrays with a NamedSharding (e.g. batch-sharded over the mesh).
+    """
+    if name not in _GENERATORS:
+        raise ValueError(f"unknown dataset {name!r}; have {list(_GENERATORS)}")
+    data_dir = os.environ.get("MMVAE_DATA_DIR", "")
+    path = os.path.join(data_dir, name, f"{split}.npz") if data_dir else ""
+    if path and os.path.exists(path):
+        with np.load(path) as f:
+            arrays = {k: f[k] for k in f.files}
+    else:
+        defaults = {"train": 10000, "test": 2000}
+        if seed is None:
+            seed = {"train": 0, "test": 1_000_003}[split]
+        arrays = _GENERATORS[name](n or defaults[split], seed=seed)
+    if n is not None:
+        arrays = {k: v[:n] for k, v in arrays.items()}
+    size = len(next(iter(arrays.values())))
+    if device_put:
+        arrays = {
+            k: jax.device_put(v, sharding) if sharding is not None
+            else jnp.asarray(v)
+            for k, v in arrays.items()
+        }
+    return Dataset(arrays=arrays, size=size)
+
+
+def epoch_batches(
+    dataset: Dataset,
+    batch_size: int,
+    rng: np.random.Generator | None = None,
+    drop_remainder: bool = True,
+) -> Iterator[dict[str, Any]]:
+    """Yield shuffled on-device batches (gather by index, no host copy)."""
+    order = (
+        rng.permutation(dataset.size)
+        if rng is not None
+        else np.arange(dataset.size)
+    )
+    n_batches = dataset.size // batch_size
+    for b in range(n_batches):
+        idx = jnp.asarray(order[b * batch_size : (b + 1) * batch_size])
+        yield {k: jnp.take(v, idx, axis=0) for k, v in dataset.arrays.items()}
+    if not drop_remainder and dataset.size % batch_size:
+        idx = jnp.asarray(order[n_batches * batch_size :])
+        yield {k: jnp.take(v, idx, axis=0) for k, v in dataset.arrays.items()}
+
+
+def sample_presence(
+    rng: jax.Array,
+    batch_size: int,
+    n_modalities: int,
+    p_drop: float = 0.0,
+) -> jnp.ndarray | None:
+    """Per-example modality-dropout presence mask ([B:5], SURVEY.md 2.10).
+
+    Each modality is independently dropped with probability ``p_drop``;
+    examples that would lose everything keep all modalities (a fully
+    absent example carries no signal). Returns None when ``p_drop == 0``
+    (fully-paired training, the reference default).
+    """
+    if p_drop <= 0.0:
+        return None
+    keep = jax.random.bernoulli(
+        rng, 1.0 - p_drop, shape=(batch_size, n_modalities)
+    )
+    all_dropped = ~jnp.any(keep, axis=-1, keepdims=True)
+    return jnp.where(all_dropped, True, keep).astype(jnp.float32)

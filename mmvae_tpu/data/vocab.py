@@ -1,0 +1,42 @@
+"""Word-level vocabulary for caption modalities (SURVEY.md 2.7).
+
+Token convention shared with ``mmvae_tpu.models.text``:
+PAD=0, START=1, STOP=2, words from 3.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mmvae_tpu.models.text import PAD, START, STOP
+
+__all__ = ["Vocab"]
+
+
+class Vocab:
+    """Bidirectional word <-> id map with encode/decode to fixed length."""
+
+    RESERVED = ("<pad>", "<start>", "<stop>")
+
+    def __init__(self, words: list[str]):
+        self.itos = list(self.RESERVED) + list(dict.fromkeys(words))
+        self.stoi = {w: i for i, w in enumerate(self.itos)}
+
+    def __len__(self) -> int:
+        return len(self.itos)
+
+    def encode(self, sentence: str, max_len: int) -> np.ndarray:
+        """Tokenize, append STOP, PAD-pad/truncate to ``max_len``."""
+        ids = [self.stoi[w] for w in sentence.split()][: max_len - 1]
+        ids.append(STOP)
+        ids += [PAD] * (max_len - len(ids))
+        return np.asarray(ids, dtype=np.int32)
+
+    def decode(self, ids) -> str:
+        words = []
+        for i in np.asarray(ids).tolist():
+            if i == STOP or i == PAD:
+                break
+            if i != START:
+                words.append(self.itos[i])
+        return " ".join(words)

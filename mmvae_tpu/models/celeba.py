@@ -1,0 +1,87 @@
+"""CelebA image + 18 binary attributes MVAE (reference config 4,
+SURVEY.md 2.6 / [B:10]).
+
+Deep conv encoder/decoder over 64x64 RGB; each of the 18 attributes is its
+own Gaussian expert, so PoE fuses up to 19 experts + prior. The 18
+attribute experts are a single vmapped parameter bank
+(``AttributeEncoderBank`` / ``AttributeDecoderBank``) -- one batched einsum
+on the MXU instead of 18 tiny modules.
+
+Modality order: ``image, attr_0 .. attr_17`` (n_modalities = 19); the
+multi-term ELBO draws k random subsets over all 19 on top of joint +
+unimodal terms (SURVEY.md 2.8).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from mmvae_tpu.core import bernoulli_nll
+from mmvae_tpu.models.base import ModalitySpec, MVAEBase
+from mmvae_tpu.models.experts import (
+    AttributeDecoderBank,
+    AttributeEncoderBank,
+    ConvEncoder,
+    DeconvDecoder,
+)
+
+N_ATTRS = 18
+
+
+class CelebAMVAE(MVAEBase):
+    n_latents: int = 100
+    n_attrs: int = N_ATTRS
+    image_hw: tuple[int, int] = (64, 64)
+    lambda_image: float = 1.0
+    lambda_attr: float = 10.0
+    dtype: jnp.dtype = jnp.float32
+
+    def specs(self):
+        return (ModalitySpec("image", "bernoulli", self.lambda_image),) + tuple(
+            ModalitySpec(f"attr_{i}", "bernoulli", self.lambda_attr)
+            for i in range(self.n_attrs)
+        )
+
+    def setup(self):
+        kw = dict(dtype=self.dtype)
+        self.image_enc = ConvEncoder(
+            self.n_latents, features=(32, 64, 128, 256), **kw
+        )
+        self.image_dec = DeconvDecoder(
+            self.image_hw, channels=3, features=(256, 128, 64, 32), **kw
+        )
+        self.attr_enc = AttributeEncoderBank(
+            self.n_latents, n_attrs=self.n_attrs, **kw
+        )
+        self.attr_dec = AttributeDecoderBank(n_attrs=self.n_attrs, **kw)
+
+    def encode(self, batch):
+        mu_i, lv_i = self.image_enc(batch["image"])  # (B, L)
+        mu_a, lv_a = self.attr_enc(batch["attrs"])  # (B, 18, L)
+        mu = jnp.concatenate([mu_i[:, None], mu_a], axis=1)  # (B, 19, L)
+        logvar = jnp.concatenate([lv_i[:, None], lv_a], axis=1)
+        return mu, logvar
+
+    def decode(self, z, batch=None):
+        return {"image": self.image_dec(z), "attrs": self.attr_dec(z)}
+
+    def nll_all(self, recons, batch):
+        img = bernoulli_nll(recons["image"], batch["image"], event_ndims=3)
+        # (B, 18) per-attribute Bernoulli NLLs -> 18 modality rows.
+        attrs = bernoulli_nll(
+            recons["attrs"], batch["attrs"], event_ndims=0
+        )
+        return jnp.concatenate(
+            [img[None], attrs.swapaxes(0, 1)], axis=0
+        )  # (19, N)
+
+    def dummy_batch(self, n):
+        return {
+            "image": jnp.zeros(
+                (n,) + tuple(self.image_hw) + (3,), jnp.float32
+            ),
+            "attrs": jnp.zeros((n, self.n_attrs), jnp.float32),
+        }
+
+    def decode_kinds(self):
+        return {"image": "bernoulli", "attrs": "bernoulli"}

@@ -1,0 +1,79 @@
+"""CUB images + captions MVAE (reference config 5, SURVEY.md 2.7 / [B:11]).
+
+Conv image expert over 64x64 RGB + word-level caption encoder/decoder
+(embedding + GRU, ``lax.scan`` autoregressive decode) -- the largest
+config. Vocabulary handling lives in ``mmvae_tpu.data.vocab``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from mmvae_tpu.core import bernoulli_nll, categorical_nll
+from mmvae_tpu.models.base import ModalitySpec, MVAEBase
+from mmvae_tpu.models.experts import ConvEncoder, DeconvDecoder
+from mmvae_tpu.models.text import SeqDecoder, SeqEncoder
+
+
+class CubMVAE(MVAEBase):
+    n_latents: int = 128
+    vocab_size: int = 512
+    max_len: int = 32
+    image_hw: tuple[int, int] = (64, 64)
+    lambda_image: float = 1.0
+    lambda_text: float = 5.0
+    dtype: jnp.dtype = jnp.float32
+
+    def specs(self):
+        return (
+            ModalitySpec("image", "bernoulli", self.lambda_image),
+            ModalitySpec("text", "seq", self.lambda_text),
+        )
+
+    def setup(self):
+        kw = dict(dtype=self.dtype)
+        self.image_enc = ConvEncoder(
+            self.n_latents, features=(32, 64, 128, 256), **kw
+        )
+        self.image_dec = DeconvDecoder(
+            self.image_hw, channels=3, features=(256, 128, 64, 32), **kw
+        )
+        self.text_enc = SeqEncoder(
+            self.n_latents, self.vocab_size, embed_dim=128, hidden=256, **kw
+        )
+        self.text_dec = SeqDecoder(
+            self.vocab_size, self.max_len, embed_dim=128, hidden=256, **kw
+        )
+
+    def encode(self, batch):
+        mu_i, lv_i = self.image_enc(batch["image"])
+        mu_t, lv_t = self.text_enc(batch["text"])
+        return (
+            jnp.stack([mu_i, mu_t], axis=1),
+            jnp.stack([lv_i, lv_t], axis=1),
+        )
+
+    def decode(self, z, batch=None):
+        out = {"image": self.image_dec(z)}
+        if batch is not None:
+            out["text"] = self.text_dec(z, batch["text"])
+        return out
+
+    def generate_text(self, z, rng, temperature: float = 1.0):
+        return self.text_dec.generate(z, rng, temperature=temperature)
+
+    def nll_all(self, recons, batch):
+        img = bernoulli_nll(recons["image"], batch["image"], event_ndims=3)
+        tokens = batch["text"]
+        per_tok = categorical_nll(recons["text"], tokens)
+        mask = (tokens != 0).astype(per_tok.dtype)
+        txt = jnp.sum(per_tok * mask, axis=-1)
+        return jnp.stack([img, txt], axis=0)
+
+    def dummy_batch(self, n):
+        return {
+            "image": jnp.zeros(
+                (n,) + tuple(self.image_hw) + (3,), jnp.float32
+            ),
+            "text": jnp.zeros((n, self.max_len), jnp.int32),
+        }

@@ -1,0 +1,293 @@
+"""Per-modality encoder/decoder experts (Flax linen).
+
+TPU-native counterparts of the reference family's expert networks
+(SURVEY.md section 2.3-2.6): MLP image experts, label experts, conv/deconv
+image experts at 28x28 and 64x64, and a vmapped bank of per-attribute
+experts for CelebA's 18 binary attributes.
+
+Design notes:
+  * Encoders return ``(mu, logvar)``; decoders return distribution
+    parameters (logits) -- the likelihoods live in ``mmvae_tpu.core``.
+  * ``dtype`` is the compute dtype (bfloat16 on TPU for MXU throughput);
+    params stay float32. Heads that feed the ELBO cast back to float32 so
+    the loss math is always full precision.
+  * CelebA's 18 attribute experts are ONE module with a stacked parameter
+    bank contracted by einsum (`AttributeExpertBank`) -- a single large
+    batched matmul on the MXU instead of 18 tiny ops (the idiomatic-TPU
+    replacement for the reference's 18 separate nn.Modules).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+__all__ = [
+    "swish",
+    "MLPEncoder",
+    "MLPDecoder",
+    "LabelEncoder",
+    "LabelDecoder",
+    "ConvEncoder",
+    "DeconvDecoder",
+    "AttributeEncoderBank",
+    "AttributeDecoderBank",
+]
+
+
+def swish(x):
+    """Swish/SiLU, the reference family's activation (SURVEY.md 2.1)."""
+    return x * nn.sigmoid(x)
+
+
+class MLPEncoder(nn.Module):
+    """Flat-input MLP encoder -> (mu, logvar). MNIST image expert."""
+
+    n_latents: int
+    hidden: Sequence[int] = (512, 512)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = x.reshape((x.shape[0], -1)).astype(self.dtype)
+        for width in self.hidden:
+            h = swish(nn.Dense(width, dtype=self.dtype)(h))
+        out = nn.Dense(2 * self.n_latents, dtype=self.dtype)(h)
+        out = out.astype(jnp.float32)
+        return out[:, : self.n_latents], out[:, self.n_latents :]
+
+
+class MLPDecoder(nn.Module):
+    """Latent -> flat logits MLP decoder. MNIST image expert."""
+
+    out_shape: tuple[int, ...]
+    hidden: Sequence[int] = (512, 512)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        h = z.astype(self.dtype)
+        for width in self.hidden:
+            h = swish(nn.Dense(width, dtype=self.dtype)(h))
+        out_dim = 1
+        for d in self.out_shape:
+            out_dim *= d
+        logits = nn.Dense(out_dim, dtype=self.dtype)(h)
+        return logits.astype(jnp.float32).reshape(
+            (z.shape[0],) + tuple(self.out_shape)
+        )
+
+
+class LabelEncoder(nn.Module):
+    """Class-label expert encoder: embed -> MLP -> (mu, logvar)."""
+
+    n_latents: int
+    n_classes: int
+    embed_dim: int = 512
+    hidden: Sequence[int] = (512,)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y):
+        h = nn.Embed(self.n_classes, self.embed_dim, dtype=self.dtype)(y)
+        for width in self.hidden:
+            h = swish(nn.Dense(width, dtype=self.dtype)(h))
+        out = nn.Dense(2 * self.n_latents, dtype=self.dtype)(h)
+        out = out.astype(jnp.float32)
+        return out[:, : self.n_latents], out[:, self.n_latents :]
+
+
+class LabelDecoder(nn.Module):
+    """Latent -> class logits."""
+
+    n_classes: int
+    hidden: Sequence[int] = (512,)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        h = z.astype(self.dtype)
+        for width in self.hidden:
+            h = swish(nn.Dense(width, dtype=self.dtype)(h))
+        return nn.Dense(self.n_classes, dtype=self.dtype)(h).astype(
+            jnp.float32
+        )
+
+
+class ConvEncoder(nn.Module):
+    """Strided-conv image encoder -> (mu, logvar).
+
+    ``features`` controls depth: (32, 64) reproduces the reference-family
+    28x28 encoder (FashionMNIST/MultiMNIST), (32, 64, 128, 256) the 64x64
+    CelebA/CUB encoder (SURVEY.md 2.4/2.6/2.7). Each stage halves the
+    spatial dims (stride-2 4x4 convs, NHWC for TPU layout).
+    """
+
+    n_latents: int
+    features: Sequence[int] = (32, 64)
+    fc_hidden: int = 512
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if x.ndim == 3:
+            x = x[..., None]  # grayscale -> NHWC
+        h = x.astype(self.dtype)
+        for feat in self.features:
+            h = swish(
+                nn.Conv(
+                    feat,
+                    (4, 4),
+                    strides=(2, 2),
+                    padding="SAME",
+                    dtype=self.dtype,
+                )(h)
+            )
+        h = h.reshape((h.shape[0], -1))
+        h = swish(nn.Dense(self.fc_hidden, dtype=self.dtype)(h))
+        out = nn.Dense(2 * self.n_latents, dtype=self.dtype)(h)
+        out = out.astype(jnp.float32)
+        return out[:, : self.n_latents], out[:, self.n_latents :]
+
+
+class DeconvDecoder(nn.Module):
+    """Transposed-conv image decoder: latent -> per-pixel logits.
+
+    Mirror of :class:`ConvEncoder`. ``base_hw`` is the spatial size at the
+    bottleneck (input_hw / 2**len(features)); output is
+    ``(batch, H, W, channels)`` logits, squeezed to ``(batch, H, W)`` when
+    ``channels == 1`` to match grayscale targets.
+    """
+
+    out_hw: tuple[int, int]
+    channels: int = 1
+    features: Sequence[int] = (64, 32)
+    fc_hidden: int = 512
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        n_stages = len(self.features)
+        # Ceil so non-power-of-two targets (50x50 MultiMNIST) overshoot and
+        # get cropped below rather than undershooting.
+        base_h = -(-self.out_hw[0] // (2**n_stages))
+        base_w = -(-self.out_hw[1] // (2**n_stages))
+        h = swish(nn.Dense(self.fc_hidden, dtype=self.dtype)(
+            z.astype(self.dtype)
+        ))
+        h = swish(
+            nn.Dense(base_h * base_w * self.features[0], dtype=self.dtype)(h)
+        )
+        h = h.reshape((z.shape[0], base_h, base_w, self.features[0]))
+        for feat in self.features[1:]:
+            h = swish(
+                nn.ConvTranspose(
+                    feat,
+                    (4, 4),
+                    strides=(2, 2),
+                    padding="SAME",
+                    dtype=self.dtype,
+                )(h)
+            )
+        logits = nn.ConvTranspose(
+            self.channels, (4, 4), strides=(2, 2), padding="SAME",
+            dtype=self.dtype,
+        )(h).astype(jnp.float32)
+        # Handle non-power-of-two targets (e.g. 50x50 MultiMNIST canvases
+        # decoded from a 64-ish grid): center-crop/pad to out_hw.
+        gh, gw = logits.shape[1], logits.shape[2]
+        if (gh, gw) != tuple(self.out_hw):
+            logits = logits[:, : self.out_hw[0], : self.out_hw[1], :]
+        if self.channels == 1:
+            logits = logits[..., 0]
+        return logits
+
+
+class AttributeEncoderBank(nn.Module):
+    """All 18 CelebA binary-attribute experts as one einsum bank.
+
+    Reference behavior (SURVEY.md 2.6): one tiny Gaussian expert per
+    attribute, PoE fuses up to 19 experts + prior. Instead of 18 separate
+    modules, parameters are stacked along a leading attribute axis and
+    contracted with einsum -- one MXU-shaped batched matmul.
+
+    Input ``attrs``: ``(batch, n_attrs)`` in {0, 1}.
+    Output ``(mu, logvar)``: each ``(batch, n_attrs, n_latents)`` -- one
+    expert per attribute, directly stackable into the PoE.
+    """
+
+    n_latents: int
+    n_attrs: int = 18
+    embed_dim: int = 32
+    hidden: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, attrs):
+        # Per-attribute embedding of the binary value: select row 0/1.
+        emb = self.param(
+            "embed",
+            nn.initializers.normal(0.02),
+            (self.n_attrs, 2, self.embed_dim),
+        )
+        a = attrs.astype(jnp.float32)  # (B, A)
+        h = (
+            emb[None, :, 0, :] * (1.0 - a)[..., None]
+            + emb[None, :, 1, :] * a[..., None]
+        ).astype(self.dtype)  # (B, A, E)
+        w1 = self.param(
+            "w1",
+            nn.initializers.lecun_normal(),
+            (self.n_attrs, self.embed_dim, self.hidden),
+        ).astype(self.dtype)
+        b1 = self.param(
+            "b1", nn.initializers.zeros, (self.n_attrs, self.hidden)
+        ).astype(self.dtype)
+        h = swish(jnp.einsum("bae,aeh->bah", h, w1) + b1[None])
+        w2 = self.param(
+            "w2",
+            nn.initializers.lecun_normal(),
+            (self.n_attrs, self.hidden, 2 * self.n_latents),
+        ).astype(self.dtype)
+        b2 = self.param(
+            "b2", nn.initializers.zeros, (self.n_attrs, 2 * self.n_latents)
+        ).astype(self.dtype)
+        out = (jnp.einsum("bah,aho->bao", h, w2) + b2[None]).astype(
+            jnp.float32
+        )
+        return out[..., : self.n_latents], out[..., self.n_latents :]
+
+
+class AttributeDecoderBank(nn.Module):
+    """Latent -> per-attribute Bernoulli logits, one einsum bank.
+
+    Output: ``(batch, n_attrs)`` logits.
+    """
+
+    n_attrs: int = 18
+    hidden: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        zc = z.astype(self.dtype)
+        w1 = self.param(
+            "w1",
+            nn.initializers.lecun_normal(),
+            (self.n_attrs, z.shape[-1], self.hidden),
+        ).astype(self.dtype)
+        b1 = self.param(
+            "b1", nn.initializers.zeros, (self.n_attrs, self.hidden)
+        ).astype(self.dtype)
+        h = swish(jnp.einsum("bl,alh->bah", zc, w1) + b1[None])
+        w2 = self.param(
+            "w2", nn.initializers.lecun_normal(), (self.n_attrs, self.hidden)
+        ).astype(self.dtype)
+        b2 = self.param("b2", nn.initializers.zeros, (self.n_attrs,)).astype(
+            self.dtype
+        )
+        return (jnp.einsum("bah,ah->ba", h, w2) + b2[None]).astype(
+            jnp.float32
+        )

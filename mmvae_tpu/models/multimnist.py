@@ -1,0 +1,83 @@
+"""MultiMNIST MVAE (reference config 3, SURVEY.md 2.5 / [B:9]).
+
+Conv encoder over the 50x50 composite-digit canvas + autoregressive
+sequence decoder over the variable-length digit string (up to 4 digits),
+realized as a fixed-length ``lax.scan`` GRU with stop masking
+(SURVEY.md 3e). Digit tokens: PAD=0, START=1, STOP=2, digits d -> 3+d.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from mmvae_tpu.core import bernoulli_nll, categorical_nll
+from mmvae_tpu.models.base import ModalitySpec, MVAEBase
+from mmvae_tpu.models.experts import ConvEncoder, DeconvDecoder
+from mmvae_tpu.models.text import SeqDecoder, SeqEncoder
+
+DIGIT_VOCAB = 13  # PAD, START, STOP + 10 digits
+MAX_DIGITS = 4
+SEQ_LEN = MAX_DIGITS + 1  # digits + STOP
+
+
+class MultiMnistMVAE(MVAEBase):
+    n_latents: int = 64
+    image_hw: tuple[int, int] = (50, 50)
+    max_len: int = SEQ_LEN
+    lambda_image: float = 1.0
+    lambda_text: float = 10.0
+    dtype: jnp.dtype = jnp.float32
+
+    def specs(self):
+        return (
+            ModalitySpec("image", "bernoulli", self.lambda_image),
+            ModalitySpec("text", "seq", self.lambda_text),
+        )
+
+    def setup(self):
+        kw = dict(dtype=self.dtype)
+        self.image_enc = ConvEncoder(
+            self.n_latents, features=(32, 64), **kw
+        )
+        self.image_dec = DeconvDecoder(
+            self.image_hw, channels=1, features=(64, 32), **kw
+        )
+        self.text_enc = SeqEncoder(
+            self.n_latents, DIGIT_VOCAB, embed_dim=64, hidden=128, **kw
+        )
+        self.text_dec = SeqDecoder(
+            DIGIT_VOCAB, self.max_len, embed_dim=64, hidden=128, **kw
+        )
+
+    def encode(self, batch):
+        mu_i, lv_i = self.image_enc(batch["image"])
+        mu_t, lv_t = self.text_enc(batch["text"])
+        return (
+            jnp.stack([mu_i, mu_t], axis=1),
+            jnp.stack([lv_i, lv_t], axis=1),
+        )
+
+    def decode(self, z, batch=None):
+        out = {"image": self.image_dec(z)}
+        if batch is not None:
+            out["text"] = self.text_dec(z, batch["text"])  # teacher-forced
+        return out
+
+    def generate_text(self, z, rng, temperature: float = 1.0):
+        """Sampled digit-string decode (generation path, SURVEY.md 3e)."""
+        return self.text_dec.generate(z, rng, temperature=temperature)
+
+    def nll_all(self, recons, batch):
+        img = bernoulli_nll(recons["image"], batch["image"], event_ndims=2)
+        # Per-token CE summed over non-PAD positions (STOP is predicted).
+        tokens = batch["text"]
+        per_tok = categorical_nll(recons["text"], tokens)
+        mask = (tokens != 0).astype(per_tok.dtype)
+        txt = jnp.sum(per_tok * mask, axis=-1)
+        return jnp.stack([img, txt], axis=0)
+
+    def dummy_batch(self, n):
+        return {
+            "image": jnp.zeros((n,) + tuple(self.image_hw), jnp.float32),
+            "text": jnp.zeros((n, self.max_len), jnp.int32),
+        }

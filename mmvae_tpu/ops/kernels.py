@@ -1,0 +1,180 @@
+"""Pallas TPU kernels: fused KL and Bernoulli log-likelihood reductions.
+
+Both ops are row-wise reduce patterns ``(N, D) -> (N,)`` that the MVAE hot
+path evaluates at (n_terms * batch) granularity ([B:5]). Each kernel:
+
+  * tiles rows and columns on a 2-D grid, accumulating partial sums into a
+    revisited ``(TILE_N, 1)`` output block (init on the first column tile);
+  * masks the column remainder with ``broadcasted_iota`` so padding never
+    contributes (BCE of a zero logit is log 2, not 0 -- padding must be
+    masked, not zero-filled);
+  * carries a custom VJP with the analytic elementwise backward (the
+    backward is a pure VPU map that XLA fuses into the surrounding
+    gradient computation, so it stays jnp).
+
+Forward-only cost: one HBM read of each input, one (N,) write -- the fused
+replacement for the elementwise-temp + reduce pair XLA would otherwise
+materialize at f32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["kl_std_normal_pallas", "bernoulli_nll_pallas"]
+
+_TILE_N = 256
+_TILE_D = 512
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _col_mask(d_total: int, tile_d: int, dtype):
+    """(1, tile_d) mask of in-range columns for the current column tile."""
+    j = pl.program_id(1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, tile_d), 1)
+    return (j * tile_d + col < d_total).astype(dtype)
+
+
+def _kl_kernel(mu_ref, lv_ref, out_ref, *, d_total: int, tile_d: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    mu = mu_ref[:]
+    lv = lv_ref[:]
+    per_elem = -0.5 * (1.0 + lv - mu * mu - jnp.exp(lv))
+    per_elem = per_elem * _col_mask(d_total, tile_d, per_elem.dtype)
+    out_ref[:] += jnp.sum(per_elem, axis=1, keepdims=True)
+
+
+def _bce_kernel(l_ref, x_ref, out_ref, *, d_total: int, tile_d: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    logits = l_ref[:]
+    x = x_ref[:]
+    per_elem = (
+        jnp.maximum(logits, 0.0)
+        - logits * x
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+    per_elem = per_elem * _col_mask(d_total, tile_d, per_elem.dtype)
+    out_ref[:] += jnp.sum(per_elem, axis=1, keepdims=True)
+
+
+def _rowwise_reduce(kernel, a, b, interpret: bool = False):
+    """Run a 2-input row-reduce kernel over (N, D) f32 inputs -> (N,)."""
+    n, d = a.shape
+    tile_n = min(_TILE_N, max(8, n))
+    tile_d = min(_TILE_D, max(128, d))
+    grid = (_cdiv(n, tile_n), _cdiv(d, tile_d))
+    out = pl.pallas_call(
+        functools.partial(kernel, d_total=d, tile_d=tile_d),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (tile_n, tile_d),
+                lambda i, j: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_n, tile_d),
+                lambda i, j: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_n, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * n * d, bytes_accessed=2 * n * d * 4 + n * 4,
+            transcendentals=n * d,
+        ),
+    )(a, b)
+    return out[:, 0]
+
+
+def _flatten_rows(x, event_ndims: int):
+    batch_shape = x.shape[: x.ndim - event_ndims]
+    n = 1
+    for s in batch_shape:
+        n *= s
+    return x.reshape((n, -1)) if event_ndims else x.reshape((n, 1)), batch_shape
+
+
+# ---------------------------------------------------------------- KL ----
+
+
+@jax.custom_vjp
+def kl_std_normal_pallas(mu, logvar):
+    """Pallas-fused KL(N(mu, e^lv) || N(0,I)), summed over the last dim."""
+    return _kl_fwd_impl(mu, logvar)
+
+
+def _kl_fwd_impl(mu, logvar, interpret: bool = False):
+    rows, batch_shape = _flatten_rows(mu.astype(jnp.float32), 1)
+    lv_rows, _ = _flatten_rows(logvar.astype(jnp.float32), 1)
+    out = _rowwise_reduce(_kl_kernel, rows, lv_rows, interpret=interpret)
+    return out.reshape(batch_shape)
+
+
+def _kl_fwd(mu, logvar):
+    return kl_std_normal_pallas(mu, logvar), (mu, logvar)
+
+
+def _kl_bwd(res, g):
+    mu, logvar = res
+    g = g[..., None]
+    return (g * mu, g * 0.5 * (jnp.exp(logvar) - 1.0))
+
+
+kl_std_normal_pallas.defvjp(_kl_fwd, _kl_bwd)
+
+
+# --------------------------------------------------------------- BCE ----
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def bernoulli_nll_pallas(logits, x, event_ndims: int = 1):
+    """Pallas-fused summed BCE-with-logits over trailing event dims."""
+    return _bce_fwd_impl(logits, x, event_ndims)
+
+
+def _bce_fwd_impl(logits, x, event_ndims: int, interpret: bool = False):
+    rows, batch_shape = _flatten_rows(
+        logits.astype(jnp.float32), event_ndims
+    )
+    x_rows, _ = _flatten_rows(x.astype(jnp.float32), event_ndims)
+    out = _rowwise_reduce(_bce_kernel, rows, x_rows, interpret=interpret)
+    return out.reshape(batch_shape)
+
+
+def _bce_fwd(logits, x, event_ndims):
+    return bernoulli_nll_pallas(logits, x, event_ndims), (logits, x)
+
+
+def _bce_bwd(event_ndims, res, g):
+    logits, x = res
+    for _ in range(event_ndims):
+        g = g[..., None]
+    dlogits = g * (jax.nn.sigmoid(logits) - x.astype(logits.dtype))
+    dx = g * (-logits)
+    return (dlogits, dx.astype(x.dtype))
+
+
+bernoulli_nll_pallas.defvjp(_bce_fwd, _bce_bwd)

@@ -1,0 +1,24 @@
+"""Parallelism over the TPU mesh (rebuild-only component, SURVEY.md 2.15).
+
+The reference is single-process/single-device; the one parallel strategy
+the rebuild owes is data parallelism: batch sharded over a 1-D
+``jax.sharding.Mesh``, gradients averaged by ``psum`` over ICI -- emitted
+automatically by XLA/GSPMD from sharding annotations ([B:5], SURVEY.md
+section 5 comms row).
+"""
+
+from mmvae_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+    replicate,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "replicate",
+]

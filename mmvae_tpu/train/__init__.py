@@ -1,0 +1,16 @@
+"""Training machinery: jitted multi-term step, state, loop, checkpointing."""
+
+from mmvae_tpu.train.step import (
+    make_train_step,
+    make_eval_step,
+    multi_term_loss,
+)
+from mmvae_tpu.train.state import TrainState, create_train_state
+
+__all__ = [
+    "make_train_step",
+    "make_eval_step",
+    "multi_term_loss",
+    "TrainState",
+    "create_train_state",
+]

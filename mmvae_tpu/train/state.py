@@ -1,0 +1,55 @@
+"""Train state: params + Adam optimizer + step counter + rng.
+
+The reference tracks {epoch, state_dict, optimizer, best_loss}
+(SURVEY.md 2.12); here the whole state is one PyTree so Orbax can
+checkpoint/restore it atomically and pjit can shard it.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+__all__ = ["TrainState", "create_train_state"]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_rng):
+        updates, new_opt_state = self.tx.update(
+            grads, self.opt_state, self.params
+        )
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt_state,
+            rng=new_rng,
+        )
+
+
+def create_train_state(
+    model, example_batch, rng, learning_rate: float = 1e-3
+) -> TrainState:
+    """Initialize params (via a teacher-forced forward) and Adam."""
+    init_rng, state_rng = jax.random.split(rng)
+    variables = model.init(
+        init_rng, example_batch, rng=init_rng, sample=True
+    )
+    tx = optax.adam(learning_rate)
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), dtype=jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        rng=state_rng,
+        tx=tx,
+    )

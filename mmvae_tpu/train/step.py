@@ -1,0 +1,171 @@
+"""The jitted multi-term MVAE train/eval step.
+
+This is the idiomatic-TPU replacement for the reference's hot loop
+(SURVEY.md section 3a), which runs one Python forward pass per modality
+subset per batch (joint + each unimodal + k sampled combinations). Here the
+subsets live in a ``(n_terms, n_modalities)`` float mask matrix and the
+whole multi-term ELBO is ONE compiled XLA program:
+
+  * encoders run ONCE per modality -> ``(B, M, L)`` expert stack;
+  * masked PoE fusion broadcasts over the term axis -> ``(T, B, L)``
+    posteriors (an absent expert contributes zero precision);
+  * decoding folds the term axis into the batch axis, so every decoder
+    sees one ``(T*B, ...)`` batch -- large MXU matmuls instead of T small
+    ones;
+  * KL and recon reductions use the Pallas kernels in ``mmvae_tpu.ops``
+    (jnp fallbacks elsewhere).
+
+Per-example modality-dropout presence masks from the data pipeline
+([B:5]) multiply into both the fusion mask and the recon weights: an
+unobserved modality neither contributes an expert nor counts as a target.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from mmvae_tpu.core import (
+    annealing_factor,
+    elbo_subset_masks,
+    elbo_terms,
+    random_subset_masks,
+    reparameterize,
+)
+from mmvae_tpu.core.poe import product_of_experts
+from mmvae_tpu.ops import kl_std_normal
+
+__all__ = ["multi_term_loss", "make_train_step", "make_eval_step"]
+
+
+def _tile_terms(tree, n_terms: int):
+    """Broadcast every array in ``tree`` to a leading (n_terms*batch) axis."""
+
+    def tile(x):
+        return jnp.broadcast_to(x[None], (n_terms,) + x.shape).reshape(
+            (n_terms * x.shape[0],) + x.shape[1:]
+        )
+
+    return jax.tree.map(tile, tree)
+
+
+def multi_term_loss(
+    model,
+    params,
+    batch: dict[str, Any],
+    rng: jax.Array,
+    beta,
+    *,
+    n_random_subsets: int = 0,
+    sample: bool = True,
+):
+    """Total multi-term ELBO loss (batch mean) + per-term metrics.
+
+    ``batch`` maps modality names to targets, plus an optional
+    ``"presence"`` key: ``(B, M)`` float mask of which modalities each
+    example actually carries (modality dropout, SURVEY.md 2.10).
+    """
+    rng_subset, rng_z = jax.random.split(rng)
+    n_mod = model.n_modalities
+    masks = elbo_subset_masks(n_mod)  # (1+M, M): joint + unimodal
+    if n_random_subsets > 0:
+        masks = jnp.concatenate(
+            [masks, random_subset_masks(rng_subset, n_random_subsets, n_mod)],
+            axis=0,
+        )
+    n_terms = masks.shape[0]
+    presence = batch.get("presence")
+    data = {k: v for k, v in batch.items() if k != "presence"}
+
+    variables = {"params": params}
+    mu_e, lv_e = model.apply(variables, data, method="encode")  # (B, M, L)
+
+    # Effective fusion mask per (term, example, modality).
+    eff = masks[:, None, :]  # (T, 1, M)
+    if presence is not None:
+        eff = eff * presence[None]  # (T, B, M)
+    else:
+        eff = jnp.broadcast_to(eff, (n_terms, mu_e.shape[0], n_mod))
+
+    fused_mu, fused_lv = product_of_experts(
+        mu_e[None], lv_e[None], mask=eff
+    )  # (T, B, L)
+    z = reparameterize(rng_z, fused_mu, fused_lv, sample=sample)
+
+    # Fold terms into batch: one big decoder pass.
+    batch_size = mu_e.shape[0]
+    z_flat = z.reshape((n_terms * batch_size, -1))
+    data_tiled = _tile_terms(data, n_terms)
+    recons = model.apply(variables, z_flat, data_tiled, method="decode")
+    nll_flat = model.apply(
+        variables, recons, data_tiled, method="nll_all"
+    )  # (M, T*B)
+    nll = nll_flat.reshape((n_mod, n_terms, batch_size)).swapaxes(0, 1)
+
+    if presence is not None:
+        # Unobserved modalities are not recon targets either.
+        nll = nll * presence.T[None]  # (T, M, B) * (1, M, B)
+
+    kl = kl_std_normal(fused_mu, fused_lv)  # (T, B)
+    return elbo_terms(nll, kl, masks, model.lambdas(), beta)
+
+
+def make_train_step(
+    model,
+    *,
+    n_random_subsets: int = 0,
+    annealing_steps: int = 0,
+) -> Callable:
+    """Build the jitted train step: ``(state, batch) -> (state, metrics)``.
+
+    KL annealing is a function of ``state.step`` traced inside the program
+    (SURVEY.md 2.9) -- no retrace as beta ramps.
+    """
+
+    @jax.jit
+    def train_step(state, batch):
+        rng, new_rng = jax.random.split(state.rng)
+        beta = annealing_factor(state.step, annealing_steps)
+
+        def loss_fn(params):
+            loss, metrics = multi_term_loss(
+                model,
+                params,
+                batch,
+                rng,
+                beta,
+                n_random_subsets=n_random_subsets,
+                sample=True,
+            )
+            return loss, metrics
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads, new_rng)
+        metrics["beta"] = beta
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(model) -> Callable:
+    """Jitted eval step: full ELBO, beta=1, z=mu (SURVEY.md 3c)."""
+
+    @partial(jax.jit, static_argnames=())
+    def eval_step(params, batch):
+        _, metrics = multi_term_loss(
+            model,
+            params,
+            batch,
+            jax.random.key(0),
+            beta=1.0,
+            n_random_subsets=0,
+            sample=False,
+        )
+        return metrics
+
+    return eval_step
