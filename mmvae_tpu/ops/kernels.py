@@ -36,11 +36,15 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _col_mask(d_total: int, tile_d: int, dtype):
-    """(1, tile_d) mask of in-range columns for the current column tile."""
+def _col_mask(d_total: int, tile_d: int):
+    """(1, tile_d) bool mask of in-range columns for this column tile.
+
+    Used with ``jnp.where`` (not multiply): Pallas pads partial blocks
+    with uninitialized memory, and 0 * inf/nan is nan -- selection is the
+    only safe way to drop padding."""
     j = pl.program_id(1)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, tile_d), 1)
-    return (j * tile_d + col < d_total).astype(dtype)
+    return j * tile_d + col < d_total
 
 
 def _kl_kernel(mu_ref, lv_ref, out_ref, *, d_total: int, tile_d: int):
@@ -53,7 +57,7 @@ def _kl_kernel(mu_ref, lv_ref, out_ref, *, d_total: int, tile_d: int):
     mu = mu_ref[:]
     lv = lv_ref[:]
     per_elem = -0.5 * (1.0 + lv - mu * mu - jnp.exp(lv))
-    per_elem = per_elem * _col_mask(d_total, tile_d, per_elem.dtype)
+    per_elem = jnp.where(_col_mask(d_total, tile_d), per_elem, 0.0)
     out_ref[:] += jnp.sum(per_elem, axis=1, keepdims=True)
 
 
@@ -71,7 +75,7 @@ def _bce_kernel(l_ref, x_ref, out_ref, *, d_total: int, tile_d: int):
         - logits * x
         + jnp.log1p(jnp.exp(-jnp.abs(logits)))
     )
-    per_elem = per_elem * _col_mask(d_total, tile_d, per_elem.dtype)
+    per_elem = jnp.where(_col_mask(d_total, tile_d), per_elem, 0.0)
     out_ref[:] += jnp.sum(per_elem, axis=1, keepdims=True)
 
 

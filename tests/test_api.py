@@ -1,0 +1,150 @@
+"""Public API + checkpoint round-trips (SURVEY.md 2.11-2.14 parity)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from mmvae_tpu import api
+from mmvae_tpu.configs import get_config
+from mmvae_tpu.train import create_train_state
+from mmvae_tpu.train.checkpoint import (
+    latest_epoch,
+    load_checkpoint,
+    save_checkpoint,
+)
+from mmvae_tpu.configs import build_model
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return get_config("mnist").replace(
+        n_latents=8,
+        epochs=2,
+        batch_size=32,
+        train_size=128,
+        test_size=64,
+        annealing_epochs=1,
+    )
+
+
+@pytest.fixture(scope="module")
+def trained(tiny_cfg, tmp_path_factory):
+    workdir = str(tmp_path_factory.mktemp("mnist_run"))
+    result = api.train(tiny_cfg, workdir, use_mesh=False, verbose=False)
+    return result, workdir
+
+
+def test_train_returns_history(trained):
+    result, _ = trained
+    assert len(result.history) == 2
+    assert result.history[1]["test_elbo"] <= result.history[0]["test_elbo"]
+    assert np.isfinite(result.best_test_elbo)
+
+
+def test_metrics_jsonl_written(trained):
+    _, workdir = trained
+    path = os.path.join(workdir, "metrics.jsonl")
+    assert os.path.exists(path)
+    import json
+
+    records = [json.loads(line) for line in open(path)]
+    kinds = {r["kind"] for r in records}
+    assert kinds == {"train", "eval"}
+    train_rec = next(r for r in records if r["kind"] == "train")
+    assert len(train_rec["elbo_per_term"]) == 3
+
+
+def test_eval_elbo_from_workdir(trained, tiny_cfg):
+    result, workdir = trained
+    elbo = api.eval_elbo(tiny_cfg, workdir=workdir)
+    assert np.isfinite(elbo)
+    assert abs(elbo - result.best_test_elbo) / abs(elbo) < 0.1
+
+
+def test_sample_shapes(trained, tiny_cfg):
+    result, workdir = trained
+    out = api.sample(tiny_cfg, n=4, workdir=workdir)
+    assert out["image"].shape == (4, 28, 28)
+    assert out["label"].shape == (4,)
+    img = np.asarray(out["image"])
+    assert img.min() >= 0.0 and img.max() <= 1.0  # sigmoid'd
+
+
+def test_generate_conditions_on_label(trained, tiny_cfg):
+    _, workdir = trained
+    out = api.generate(
+        tiny_cfg, {"label": np.asarray([1, 2])}, workdir=workdir
+    )
+    assert out["image"].shape == (2, 28, 28)
+
+
+def test_generate_conditions_on_image(trained, tiny_cfg):
+    result, workdir = trained
+    from mmvae_tpu.data import load_dataset
+
+    ds = load_dataset("mnist", "test", n=2)
+    out = api.generate(
+        tiny_cfg, {"image": ds.arrays["image"]}, workdir=workdir
+    )
+    assert out["label"].shape == (2,)
+
+
+def test_generate_empty_condition_is_prior(trained, tiny_cfg):
+    _, workdir = trained
+    out = api.generate(tiny_cfg, {}, n=3, workdir=workdir, sample_z=False)
+    # z = prior mean = 0 for every row -> identical decodes.
+    img = np.asarray(out["image"])
+    np.testing.assert_allclose(img[0], img[1], atol=1e-6)
+
+
+def test_checkpoint_roundtrip(tiny_cfg, tmp_path):
+    model = build_model(tiny_cfg)
+    state = create_train_state(
+        model, model.dummy_batch(4), jax.random.key(0)
+    )
+    save_checkpoint(str(tmp_path), state, epoch=3, is_best=True)
+    assert latest_epoch(str(tmp_path)) == 3
+    template = create_train_state(
+        model, model.dummy_batch(4), jax.random.key(1)
+    )
+    restored, extra = load_checkpoint(str(tmp_path), template, "best")
+    assert extra["epoch"] == 3.0
+    for a, b in zip(
+        jax.tree.leaves(state.params), jax.tree.leaves(restored.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_continues(tiny_cfg, tmp_path):
+    workdir = str(tmp_path)
+    api.train(tiny_cfg, workdir, use_mesh=False, verbose=False)
+    cfg3 = tiny_cfg.replace(epochs=3)
+    result = api.train(
+        cfg3, workdir, use_mesh=False, resume=True, verbose=False
+    )
+    # Only epoch 3 should have been run in the second call.
+    assert [h["epoch"] for h in result.history] == [3]
+
+
+def test_celeba_generate_from_attrs(tmp_path):
+    cfg = get_config("celeba").replace(
+        n_latents=8,
+        epochs=1,
+        batch_size=16,
+        train_size=32,
+        test_size=16,
+        n_random_subsets=2,
+    )
+    workdir = str(tmp_path)
+    api.train(cfg, workdir, use_mesh=False, verbose=False)
+    attrs = np.zeros((2, 18), np.float32)
+    out = api.generate(cfg, {"attrs": attrs}, workdir=workdir)
+    assert out["image"].shape == (2, 64, 64, 3)
+    assert out["attrs"].shape == (2, 18)
+    # Individual-attribute conditioning also works.
+    out2 = api.generate(
+        cfg, {"attr_6": np.ones(2, np.float32)}, n=2, workdir=workdir
+    )
+    assert out2["image"].shape == (2, 64, 64, 3)

@@ -1,0 +1,99 @@
+"""Model-level shape/behavior tests for all five experiment MVAEs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmvae_tpu.data import load_dataset
+from mmvae_tpu.models import (
+    CelebAMVAE,
+    CubMVAE,
+    FashionMnistMVAE,
+    MnistMVAE,
+    MultiMnistMVAE,
+)
+
+CASES = [
+    ("mnist", MnistMVAE(n_latents=8), 2),
+    ("fashionmnist", FashionMnistMVAE(n_latents=8), 2),
+    ("multimnist", MultiMnistMVAE(n_latents=8), 2),
+    ("celeba", CelebAMVAE(n_latents=8), 19),
+    ("cub", CubMVAE(n_latents=8, vocab_size=32), 2),
+]
+
+
+@pytest.fixture(scope="module")
+def batches():
+    return {
+        name: load_dataset(name, n=4, seed=0).arrays
+        for name, _, _ in CASES
+    }
+
+
+@pytest.mark.parametrize("name,model,n_mod", CASES, ids=[c[0] for c in CASES])
+def test_encode_decode_shapes(name, model, n_mod, batches):
+    batch = batches[name]
+    variables = model.init(jax.random.key(0), batch, rng=jax.random.key(1))
+    mu, lv = model.apply(variables, batch, method="encode")
+    assert mu.shape == (4, n_mod, 8)
+    assert lv.shape == (4, n_mod, 8)
+    z = jnp.zeros((4, 8))
+    recons = model.apply(variables, z, batch, method="decode")
+    nll = model.apply(variables, recons, batch, method="nll_all")
+    assert nll.shape == (n_mod, 4)
+    assert bool(jnp.all(jnp.isfinite(nll)))
+
+
+@pytest.mark.parametrize("name,model,n_mod", CASES, ids=[c[0] for c in CASES])
+def test_forward_contract(name, model, n_mod, batches):
+    """Forward decodes EVERY modality regardless of presence (SURVEY 3b)."""
+    batch = batches[name]
+    variables = model.init(jax.random.key(0), batch, rng=jax.random.key(1))
+    presence = jnp.zeros((4, n_mod)).at[:, 0].set(1.0)  # image only
+    recons, mu, lv = model.apply(
+        variables, batch, presence, jax.random.key(2), True
+    )
+    assert mu.shape == (4, 8)
+    assert set(recons) == set(batch)  # all modalities decoded
+
+
+@pytest.mark.parametrize("name,model,n_mod", CASES, ids=[c[0] for c in CASES])
+def test_dummy_batch_matches_real(name, model, n_mod, batches):
+    real = batches[name]
+    dummy = model.dummy_batch(4)
+    assert set(dummy) == set(real)
+    for k in real:
+        assert dummy[k].shape == real[k].shape, k
+
+
+def test_seq_generate_stops_and_pads(batches):
+    model = MultiMnistMVAE(n_latents=8)
+    batch = batches["multimnist"]
+    variables = model.init(jax.random.key(0), batch, rng=jax.random.key(1))
+    z = jax.random.normal(jax.random.key(3), (6, 8))
+    toks = model.apply(
+        variables, z, jax.random.key(4), 1.0, method="generate_text"
+    )
+    assert toks.shape == (6, model.max_len)
+    toks = np.asarray(toks)
+    for row in toks:
+        stops = np.where(row == 2)[0]
+        if len(stops):
+            assert (row[stops[0] + 1 :] == 0).all()  # PAD after STOP
+
+
+def test_attribute_bank_is_per_attribute():
+    """Each CelebA attribute expert must see only its own attribute."""
+    model = CelebAMVAE(n_latents=8)
+    batch = model.dummy_batch(2)
+    variables = model.init(jax.random.key(0), batch, rng=jax.random.key(1))
+    a0 = jnp.zeros((2, 18))
+    a1 = a0.at[:, 7].set(1.0)  # flip attribute 7 only
+    mu0, _ = model.apply(variables, dict(batch, attrs=a0), method="encode")
+    mu1, _ = model.apply(variables, dict(batch, attrs=a1), method="encode")
+    diff = jnp.abs(mu0 - mu1).sum(axis=-1)  # (B, 19)
+    changed = np.asarray(diff > 1e-7)
+    # Only the attr_7 expert (modality index 1+7=8) changes.
+    assert changed[:, 8].all()
+    assert not changed[:, [i for i in range(19) if i != 8]].any()

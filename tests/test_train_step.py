@@ -1,0 +1,109 @@
+"""Jitted multi-term train/eval step behavior (SURVEY.md sections 3a, 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmvae_tpu.data import load_dataset
+from mmvae_tpu.models import MnistMVAE
+from mmvae_tpu.train import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+    multi_term_loss,
+)
+
+
+def _setup(n=64, n_latents=8):
+    model = MnistMVAE(n_latents=n_latents)
+    ds = load_dataset("mnist", n=n, seed=0)
+    state = create_train_state(model, ds.arrays, jax.random.key(0), 1e-3)
+    return model, ds.arrays, state
+
+
+def test_loss_decreases():
+    model, batch, state = _setup()
+    step = make_train_step(model, annealing_steps=0)
+    state, m0 = step(state, batch)
+    for _ in range(20):
+        state, m = step(state, batch)
+    assert float(m["loss"]) < float(m0["loss"])
+
+
+def test_metrics_structure():
+    model, batch, state = _setup()
+    step = make_train_step(model, annealing_steps=10)
+    state, m = step(state, batch)
+    assert m["elbo_per_term"].shape == (3,)  # joint + 2 unimodal
+    assert m["kl_per_term"].shape == (3,)
+    assert float(m["beta"]) == 0.0  # step counter was 0 when traced
+
+
+def test_annealing_advances_with_step():
+    model, batch, state = _setup()
+    step = make_train_step(model, annealing_steps=4)
+    betas = []
+    for _ in range(5):
+        state, m = step(state, batch)
+        betas.append(float(m["beta"]))
+    np.testing.assert_allclose(betas, [0.0, 0.25, 0.5, 0.75, 1.0])
+
+
+def test_full_presence_equals_none():
+    """An all-ones presence mask must match no mask at all."""
+    model, batch, state = _setup()
+    rng = jax.random.key(7)
+    l1, _ = multi_term_loss(model, state.params, batch, rng, beta=0.5)
+    batch2 = dict(batch, presence=jnp.ones((64, 2)))
+    l2, _ = multi_term_loss(model, state.params, batch2, rng, beta=0.5)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+
+
+def test_dropped_modality_excluded():
+    """presence=0 for a modality removes its expert AND its recon term."""
+    model, batch, state = _setup(n=8)
+    rng = jax.random.key(7)
+    presence = jnp.ones((8, 2)).at[:, 1].set(0.0)  # drop label
+    b = dict(batch, presence=presence)
+    _, m = multi_term_loss(
+        model, state.params, b, rng, beta=1.0, sample=False
+    )
+    # Label-unimodal term (index 2): no expert -> posterior == prior -> KL=0.
+    np.testing.assert_allclose(float(m["kl_per_term"][2]), 0.0, atol=1e-5)
+    # Its recon contribution is masked out too.
+    np.testing.assert_allclose(
+        float(m["recon_per_term"][2]), 0.0, atol=1e-6
+    )
+
+
+def test_eval_step_deterministic():
+    model, batch, state = _setup()
+    ev = make_eval_step(model)
+    m1 = ev(state.params, batch)
+    m2 = ev(state.params, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]))
+
+
+def test_random_subsets_add_terms():
+    model, batch, state = _setup(n=8)
+    _, m = multi_term_loss(
+        model,
+        state.params,
+        batch,
+        jax.random.key(0),
+        beta=1.0,
+        n_random_subsets=3,
+    )
+    assert m["elbo_per_term"].shape == (3 + 3,)
+
+
+def test_no_retrace_across_steps():
+    """beta ramping / rng must not retrace the compiled step."""
+    model, batch, state = _setup(n=8)
+    step = make_train_step(model, annealing_steps=100)
+    with jax.log_compiles(False):
+        state, _ = step(state, batch)
+        compiled_before = step._cache_size()
+        for _ in range(3):
+            state, _ = step(state, batch)
+        assert step._cache_size() == compiled_before
