@@ -1,0 +1,129 @@
+"""Headline benchmark: MNIST MVAE training samples/sec/chip vs PyTorch-CPU.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The baseline is the reference stack's modality: an eager-PyTorch MVAE on
+CPU ([B:5]; the reference publishes no numbers and its mount is empty, so
+the in-repo torch fixture generates the baseline, SURVEY.md section 6).
+Both sides train the same-size model (n_latents=64, 512-wide experts,
+3-term ELBO, Adam) on identically-shaped synthetic MNIST pairs at the
+reference batch size of 100. The measured CPU number is cached in
+``baseline_cpu.json`` (measuring torch on this host takes ~1 min) --
+delete the file to re-measure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+N_LATENTS = 64
+BATCH = 100
+WARMUP_STEPS = 5
+TPU_STEPS = 200
+CPU_STEPS = 30
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "baseline_cpu.json")
+
+
+def measure_torch_cpu() -> float:
+    """Samples/sec of the eager-PyTorch fixture on host CPU."""
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    )
+    import numpy as np
+    import torch
+
+    from torch_fixture import TorchMnistMVAE, torch_multi_term_loss
+
+    from mmvae_tpu.data import synthetic
+
+    data = synthetic.make_mnist(BATCH * (CPU_STEPS + 2), seed=0)
+    images = torch.from_numpy(data["image"])
+    labels = torch.from_numpy(data["label"]).long()
+    model = TorchMnistMVAE(n_latents=N_LATENTS)
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    model.train()
+
+    def one_step(i):
+        lo = i * BATCH
+        img = images[lo : lo + BATCH]
+        lab = labels[lo : lo + BATCH]
+        opt.zero_grad()
+        loss = torch_multi_term_loss(model, img, lab, beta=0.5, sample=True)
+        loss.backward()
+        opt.step()
+
+    for i in range(2):
+        one_step(i)
+    t0 = time.perf_counter()
+    for i in range(CPU_STEPS):
+        one_step(i + 2)
+    dt = time.perf_counter() - t0
+    return BATCH * CPU_STEPS / dt
+
+
+def cpu_baseline() -> float:
+    if os.path.exists(_CACHE):
+        with open(_CACHE) as f:
+            return float(json.load(f)["samples_per_sec"])
+    sps = measure_torch_cpu()
+    with open(_CACHE, "w") as f:
+        json.dump(
+            {
+                "samples_per_sec": sps,
+                "what": "eager-PyTorch MNIST MVAE, 3-term ELBO, Adam, "
+                f"batch={BATCH}, host CPU",
+                "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+            },
+            f,
+            indent=2,
+        )
+    return sps
+
+
+def measure_jax() -> float:
+    """Samples/sec/chip of the jitted multi-term train step."""
+    import jax
+
+    from mmvae_tpu.data import load_dataset
+    from mmvae_tpu.models import MnistMVAE
+    from mmvae_tpu.train import create_train_state, make_train_step
+
+    model = MnistMVAE(n_latents=N_LATENTS)
+    ds = load_dataset("mnist", n=BATCH, seed=0)
+    batch = ds.arrays
+    state = create_train_state(model, batch, jax.random.key(0), 1e-3)
+    step = make_train_step(model, annealing_steps=1000)
+    for _ in range(WARMUP_STEPS):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(TPU_STEPS):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    n_chips = max(1, len(jax.devices()))
+    return BATCH * TPU_STEPS / dt / n_chips
+
+
+def main() -> None:
+    baseline = cpu_baseline()
+    sps = measure_jax()
+    print(
+        json.dumps(
+            {
+                "metric": "mnist_mvae_train_samples_per_sec_per_chip",
+                "value": round(sps, 1),
+                "unit": "samples/sec/chip",
+                "vs_baseline": round(sps / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
