@@ -16,13 +16,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from mmvae_tpu.configs import ExperimentConfig, build_model, get_config
-from mmvae_tpu.data import epoch_batches, load_dataset, sample_presence
+from mmvae_tpu.data import epoch_batches, load_dataset, stacked_epoch
 from mmvae_tpu.core import product_of_experts, reparameterize
-from mmvae_tpu.parallel import make_mesh, replicate, shard_batch
+from mmvae_tpu.parallel import make_mesh, replicate
 from mmvae_tpu.train import (
     create_train_state,
+    make_epoch_runner,
     make_eval_step,
-    make_train_step,
 )
 from mmvae_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from mmvae_tpu.train.metrics import AverageMeter, MetricsWriter
@@ -86,48 +86,52 @@ def train(
     if mesh is not None:
         state = replicate(state, mesh)
 
-    train_step = make_train_step(
+    # The whole epoch is one lax.scan'd XLA program (zero per-step host
+    # dispatch); metrics come back stacked and are fetched once per epoch.
+    runner = make_epoch_runner(
         model,
         n_random_subsets=config.n_random_subsets,
         annealing_steps=annealing_steps,
+        p_modality_drop=config.p_modality_drop,
     )
+    stacked_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        stacked_sharding = NamedSharding(mesh, P(None, "data"))
+
     writer = MetricsWriter(workdir) if workdir is not None else None
     np_rng = np.random.default_rng(seed)
-    drop_rng = jax.random.key(seed + 1)
 
     history: list[dict[str, float]] = []
     for epoch in range(start_epoch, config.epochs + 1):
-        meter = AverageMeter()
-        for i, batch in enumerate(
-            epoch_batches(train_ds, config.batch_size, np_rng)
-        ):
-            if config.p_modality_drop > 0.0:
-                drop_rng, sub = jax.random.split(drop_rng)
-                presence = sample_presence(
-                    sub,
-                    config.batch_size,
-                    model.n_modalities,
-                    config.p_modality_drop,
-                )
-                if presence is not None:
-                    batch = dict(batch, presence=presence)
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
-            state, metrics = train_step(state, batch)
-            meter.update(float(metrics["loss"]), config.batch_size)
-            if writer and (i % config.log_interval == 0):
+        batches = stacked_epoch(
+            train_ds, config.batch_size, np_rng, sharding=stacked_sharding
+        )
+        state, ms = runner(state, batches)
+        losses = np.asarray(ms["loss"])  # one host fetch per epoch
+        if writer:
+            li = config.log_interval
+            per_term = np.asarray(ms["elbo_per_term"])
+            kls = np.asarray(ms["kl_per_term"])
+            recons = np.asarray(ms["recon_per_term"])
+            betas = np.asarray(ms["beta"])
+            base_step = int(state.step) - len(losses)
+            for i in range(0, len(losses), li):
                 writer.write(
                     {
                         "kind": "train",
                         "epoch": epoch,
-                        "step": int(state.step),
-                        "loss": metrics["loss"],
-                        "beta": metrics["beta"],
-                        "elbo_per_term": metrics["elbo_per_term"],
-                        "kl_per_term": metrics["kl_per_term"],
-                        "recon_per_term": metrics["recon_per_term"],
+                        "step": base_step + i + 1,
+                        "loss": losses[i],
+                        "beta": betas[i],
+                        "elbo_per_term": per_term[i],
+                        "kl_per_term": kls[i],
+                        "recon_per_term": recons[i],
                     }
                 )
+        meter = AverageMeter()
+        meter.update(float(losses.mean()), len(losses) * config.batch_size)
         test_elbo = eval_elbo(
             config, model=model, params=state.params, dataset=test_ds
         )

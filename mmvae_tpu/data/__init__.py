@@ -11,6 +11,7 @@ from mmvae_tpu.data.pipelines import (
     Dataset,
     load_dataset,
     epoch_batches,
+    stacked_epoch,
     sample_presence,
 )
 from mmvae_tpu.data.vocab import Vocab
@@ -19,6 +20,7 @@ __all__ = [
     "Dataset",
     "load_dataset",
     "epoch_batches",
+    "stacked_epoch",
     "sample_presence",
     "Vocab",
 ]

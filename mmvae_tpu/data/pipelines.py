@@ -21,7 +21,13 @@ import numpy as np
 
 from mmvae_tpu.data import synthetic
 
-__all__ = ["Dataset", "load_dataset", "epoch_batches", "sample_presence"]
+__all__ = [
+    "Dataset",
+    "load_dataset",
+    "epoch_batches",
+    "stacked_epoch",
+    "sample_presence",
+]
 
 
 class Dataset(NamedTuple):
@@ -100,6 +106,34 @@ def epoch_batches(
     if not drop_remainder and dataset.size % batch_size:
         idx = jnp.asarray(order[n_batches * batch_size :])
         yield {k: jnp.take(v, idx, axis=0) for k, v in dataset.arrays.items()}
+
+
+def stacked_epoch(
+    dataset: Dataset,
+    batch_size: int,
+    rng: np.random.Generator | None = None,
+    sharding=None,
+) -> dict[str, jnp.ndarray]:
+    """One shuffled epoch pre-stacked to ``(n_steps, batch, ...)``.
+
+    One on-device gather per epoch; feeds the ``lax.scan``-fused epoch
+    runner (``mmvae_tpu.train.make_epoch_runner``) so the hot loop has
+    zero per-step host work. ``sharding`` (e.g. ``P(None, "data")``)
+    places the stacked batches with the batch axis over the mesh.
+    """
+    order = (
+        rng.permutation(dataset.size)
+        if rng is not None
+        else np.arange(dataset.size)
+    )
+    n_steps = dataset.size // batch_size
+    idx = jnp.asarray(
+        order[: n_steps * batch_size].reshape(n_steps, batch_size)
+    )
+    out = {k: jnp.take(v, idx, axis=0) for k, v in dataset.arrays.items()}
+    if sharding is not None:
+        out = {k: jax.device_put(v, sharding) for k, v in out.items()}
+    return out
 
 
 def sample_presence(

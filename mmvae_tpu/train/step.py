@@ -118,17 +118,50 @@ def make_train_step(
     *,
     n_random_subsets: int = 0,
     annealing_steps: int = 0,
+    p_modality_drop: float = 0.0,
 ) -> Callable:
     """Build the jitted train step: ``(state, batch) -> (state, metrics)``.
 
     KL annealing is a function of ``state.step`` traced inside the program
-    (SURVEY.md 2.9) -- no retrace as beta ramps.
+    (SURVEY.md 2.9) -- no retrace as beta ramps. Modality dropout
+    (``p_modality_drop`` > 0) samples the per-example presence mask inside
+    the program too, so the hot loop needs no host-side rng work. The
+    incoming ``state`` buffers are donated (params/opt state update in
+    place on device).
     """
+    impl = _train_step_impl(
+        model,
+        n_random_subsets=n_random_subsets,
+        annealing_steps=annealing_steps,
+        p_modality_drop=p_modality_drop,
+    )
+    return jax.jit(impl, donate_argnums=0)
 
-    @jax.jit
+
+def _train_step_impl(
+    model,
+    *,
+    n_random_subsets: int,
+    annealing_steps: int,
+    p_modality_drop: float,
+) -> Callable:
+    """Unjitted step body, shared by the per-step jit and the epoch scan."""
+
     def train_step(state, batch):
-        rng, new_rng = jax.random.split(state.rng)
+        rng, drop_rng, new_rng = jax.random.split(state.rng, 3)
         beta = annealing_factor(state.step, annealing_steps)
+        if p_modality_drop > 0.0 and "presence" not in batch:
+            batch_size = jax.tree.leaves(batch)[0].shape[0]
+            keep = jax.random.bernoulli(
+                drop_rng,
+                1.0 - p_modality_drop,
+                shape=(batch_size, model.n_modalities),
+            )
+            all_dropped = ~jnp.any(keep, axis=-1, keepdims=True)
+            presence = jnp.where(all_dropped, True, keep).astype(
+                jnp.float32
+            )
+            batch = dict(batch, presence=presence)
 
         def loss_fn(params):
             loss, metrics = multi_term_loss(
@@ -150,6 +183,39 @@ def make_train_step(
         return state, metrics
 
     return train_step
+
+
+def make_epoch_runner(
+    model,
+    *,
+    n_random_subsets: int = 0,
+    annealing_steps: int = 0,
+    p_modality_drop: float = 0.0,
+) -> Callable:
+    """Build the scan-fused epoch runner: ``(state, batches) -> ...``.
+
+    ``batches`` is the epoch's data pre-stacked to ``(n_steps, batch, ...)``
+    per modality (one on-device gather per epoch). The whole epoch is ONE
+    XLA program (``lax.scan`` over steps), removing per-step host dispatch
+    entirely -- the fast path ``mmvae_tpu.api.train`` uses. Returns the
+    new state and per-step stacked metrics (fetched once per epoch).
+    """
+    impl = _train_step_impl(
+        model,
+        n_random_subsets=n_random_subsets,
+        annealing_steps=annealing_steps,
+        p_modality_drop=p_modality_drop,
+    )
+
+    @partial(jax.jit, donate_argnums=0)
+    def run_epoch(state, batches):
+        def body(state, batch):
+            state, metrics = impl(state, batch)
+            return state, metrics
+
+        return jax.lax.scan(body, state, batches)
+
+    return run_epoch
 
 
 def make_eval_step(model) -> Callable:

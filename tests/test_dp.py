@@ -15,10 +15,18 @@ from mmvae_tpu.train import create_train_state, make_train_step
 
 @pytest.fixture(scope="module")
 def setup():
+    """Returns a fresh-state factory: train steps donate their input
+    state buffers, so each scenario needs its own state (identical by
+    construction -- same model/rng/data)."""
     model = MnistMVAE(n_latents=8)
     ds = load_dataset("mnist", n=64, seed=0)
-    state = create_train_state(model, ds.arrays, jax.random.key(0), 1e-3)
-    return model, ds.arrays, state
+
+    def fresh_state():
+        return create_train_state(
+            model, ds.arrays, jax.random.key(0), 1e-3
+        )
+
+    return model, ds.arrays, fresh_state
 
 
 def test_eight_fake_devices_present():
@@ -26,17 +34,17 @@ def test_eight_fake_devices_present():
 
 
 def test_dp_matches_single_device(setup):
-    model, batch, state0 = setup
+    model, batch, fresh_state = setup
     step = make_train_step(model, annealing_steps=10)
 
     # Single device.
-    s1 = state0
+    s1 = fresh_state()
     for _ in range(3):
         s1, m1 = step(s1, batch)
 
     # DP over the 8-device mesh.
     mesh = make_mesh()
-    s8 = replicate(state0, mesh)
+    s8 = replicate(fresh_state(), mesh)
     sharded = shard_batch(batch, mesh)
     for _ in range(3):
         s8, m8 = step(s8, sharded)
@@ -53,7 +61,7 @@ def test_dp_matches_single_device(setup):
 
 
 def test_batch_sharding_layout(setup):
-    model, batch, _ = setup
+    model, batch, _fresh = setup
     mesh = make_mesh()
     sharded = shard_batch(batch, mesh)
     sh = sharded["image"].sharding
@@ -66,8 +74,8 @@ def test_batch_sharding_layout(setup):
 
 
 def test_replicated_state_layout(setup):
-    model, batch, state = setup
+    model, batch, fresh_state = setup
     mesh = make_mesh()
-    rep = replicate(state, mesh)
+    rep = replicate(fresh_state(), mesh)
     leaf = jax.tree.leaves(rep.params)[0]
     assert leaf.sharding.is_fully_replicated

@@ -107,3 +107,57 @@ def test_no_retrace_across_steps():
         for _ in range(3):
             state, _ = step(state, batch)
         assert step._cache_size() == compiled_before
+
+
+def test_epoch_runner_matches_per_step_loop():
+    """The lax.scan-fused epoch must be step-for-step identical to the
+    per-step jitted loop (same rng splits, same updates)."""
+    from mmvae_tpu.data import load_dataset, stacked_epoch
+    from mmvae_tpu.train import make_epoch_runner
+
+    model = MnistMVAE(n_latents=8)
+    ds = load_dataset("mnist", n=48, seed=0)
+
+    def fresh():
+        return create_train_state(
+            model, ds.arrays, jax.random.key(0), 1e-3
+        )
+
+    step = make_train_step(model, annealing_steps=5)
+    s1 = fresh()
+    per_step_losses = []
+    import numpy as _np
+
+    order_rng = _np.random.default_rng(0)
+    batches = stacked_epoch(ds, 16, order_rng)
+    for i in range(3):
+        b = {k: v[i] for k, v in batches.items()}
+        s1, m = step(s1, b)
+        per_step_losses.append(float(m["loss"]))
+
+    runner = make_epoch_runner(model, annealing_steps=5)
+    s2, ms = runner(fresh(), batches)
+    np.testing.assert_allclose(
+        np.asarray(ms["loss"]), per_step_losses, rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_epoch_runner_modality_drop_runs():
+    from mmvae_tpu.data import load_dataset, stacked_epoch
+    from mmvae_tpu.train import make_epoch_runner
+
+    model = MnistMVAE(n_latents=8)
+    ds = load_dataset("mnist", n=32, seed=0)
+    state = create_train_state(model, ds.arrays, jax.random.key(0), 1e-3)
+    runner = make_epoch_runner(
+        model, annealing_steps=5, p_modality_drop=0.5
+    )
+    batches = stacked_epoch(ds, 16, np.random.default_rng(0))
+    state, ms = runner(state, batches)
+    assert np.isfinite(np.asarray(ms["loss"])).all()
