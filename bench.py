@@ -122,13 +122,88 @@ def measure_jax() -> float:
     return BATCH * TPU_STEPS * n_epochs / dt / n_chips
 
 
+def measure_torch_cpu_celeba(steps: int = 3, batch: int = 32) -> float:
+    """CelebA reference fixture on CPU: the multi-forward hot loop
+    (joint + 19 unimodal + 4 random subsets per step, SURVEY.md 3a)."""
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    )
+    import torch
+
+    from torch_fixture import TorchCelebAMVAE, torch_celeba_multi_term_loss
+
+    from mmvae_tpu.data import synthetic
+
+    data = synthetic.make_celeba(batch * (steps + 1), seed=0)
+    images = torch.from_numpy(data["image"])
+    attrs = torch.from_numpy(data["attrs"])
+    model = TorchCelebAMVAE(n_latents=100)
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    gen = torch.Generator().manual_seed(0)
+
+    def one_step(i):
+        lo = i * batch
+        opt.zero_grad()
+        loss = torch_celeba_multi_term_loss(
+            model, images[lo : lo + batch], attrs[lo : lo + batch],
+            beta=0.5, generator=gen,
+        )
+        loss.backward()
+        opt.step()
+
+    one_step(0)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        one_step(i + 1)
+    return batch * steps / (time.perf_counter() - t0)
+
+
+def measure_jax_celeba(batch: int = 64, steps: int = 50) -> float:
+    import numpy as np
+
+    import jax
+
+    from mmvae_tpu.data import load_dataset, stacked_epoch
+    from mmvae_tpu.models import CelebAMVAE
+    from mmvae_tpu.train import create_train_state, make_epoch_runner
+
+    model = CelebAMVAE(n_latents=100)
+    ds = load_dataset("celeba", n=batch * steps, seed=0)
+    state = create_train_state(
+        model,
+        {k: v[:batch] for k, v in ds.arrays.items()},
+        jax.random.key(0),
+        1e-3,
+    )
+    runner = make_epoch_runner(
+        model, n_random_subsets=4, annealing_steps=1000
+    )
+    rng = np.random.default_rng(0)
+    state, ms = runner(state, stacked_epoch(ds, batch, rng))
+    float(np.asarray(ms["loss"]).sum())
+    n_epochs = 3
+    t0 = time.perf_counter()
+    for _ in range(n_epochs):
+        state, ms = runner(state, stacked_epoch(ds, batch, rng))
+    float(np.asarray(ms["loss"]).sum())
+    dt = time.perf_counter() - t0
+    return batch * steps * n_epochs / dt / max(1, len(jax.devices()))
+
+
 def main() -> None:
-    baseline = cpu_baseline()
-    sps = measure_jax()
+    which = sys.argv[1] if len(sys.argv) > 1 else "mnist"
+    if which == "celeba":
+        baseline = measure_torch_cpu_celeba()
+        sps = measure_jax_celeba()
+        metric = "celeba_mvae_train_samples_per_sec_per_chip"
+    else:
+        baseline = cpu_baseline()
+        sps = measure_jax()
+        metric = "mnist_mvae_train_samples_per_sec_per_chip"
     print(
         json.dumps(
             {
-                "metric": "mnist_mvae_train_samples_per_sec_per_chip",
+                "metric": metric,
                 "value": round(sps, 1),
                 "unit": "samples/sec/chip",
                 "vs_baseline": round(sps / baseline, 2),

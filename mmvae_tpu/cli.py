@@ -173,7 +173,13 @@ def main(argv=None) -> int:
 
 def _dump(out: dict, path: str | None) -> None:
     shapes = {k: list(np.asarray(v).shape) for k, v in out.items()}
-    if path:
+    if path and path.endswith(".png"):
+        # Reference sample.py parity: save the decoded images as a grid.
+        from mmvae_tpu.utils import save_image_grid
+
+        save_image_grid(np.asarray(out["image"]), path)
+        print(json.dumps({"written": path, "shapes": shapes}))
+    elif path:
         np.savez(path, **{k: np.asarray(v) for k, v in out.items()})
         print(json.dumps({"written": path, "shapes": shapes}))
     else:

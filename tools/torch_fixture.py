@@ -198,3 +198,168 @@ def copy_flax_params_to_torch(params: dict, model: TorchMnistMVAE) -> None:
     ld = params["label_dec"]
     set_linear(model.label_dec.layers[0], ld["Dense_0"])
     set_linear(model.label_dec.out, ld["Dense_1"])
+
+
+# ----------------------------------------------------------------------
+# CelebA conv fixture (throughput baseline for the second headline
+# metric [B:2]). Mirrors the reference's structure: deep conv enc/dec +
+# 18 SEPARATE per-attribute expert modules, and the multi-forward
+# training step (joint + each unimodal + k random subsets) -- the
+# reference's actual hot-loop cost on CPU (SURVEY.md 2.6, 3a).
+# ----------------------------------------------------------------------
+
+
+class TorchConvEncoder(nn.Module):
+    def __init__(self, n_latents, in_ch=3, feats=(32, 64, 128, 256)):
+        super().__init__()
+        chans = [in_ch] + list(feats)
+        self.convs = nn.ModuleList(
+            nn.Conv2d(a, b, 4, stride=2, padding=1)
+            for a, b in zip(chans[:-1], chans[1:])
+        )
+        self.fc = nn.Linear(feats[-1] * 4 * 4, 512)
+        self.out = nn.Linear(512, 2 * n_latents)
+        self.n_latents = n_latents
+
+    def forward(self, x):  # x: (B, H, W, 3) in [0,1]
+        h = x.permute(0, 3, 1, 2)
+        for conv in self.convs:
+            h = swish(conv(h))
+        h = swish(self.fc(h.flatten(1)))
+        o = self.out(h)
+        return o[:, : self.n_latents], o[:, self.n_latents :]
+
+
+class TorchDeconvDecoder(nn.Module):
+    def __init__(self, n_latents, out_ch=3, feats=(256, 128, 64, 32)):
+        super().__init__()
+        self.fc1 = nn.Linear(n_latents, 512)
+        self.fc2 = nn.Linear(512, feats[0] * 4 * 4)
+        self.feats = feats
+        chans = list(feats) + [out_ch]
+        self.deconvs = nn.ModuleList(
+            nn.ConvTranspose2d(a, b, 4, stride=2, padding=1)
+            for a, b in zip(chans[:-1], chans[1:])
+        )
+
+    def forward(self, z):
+        h = swish(self.fc2(swish(self.fc1(z))))
+        h = h.view(z.shape[0], self.feats[0], 4, 4)
+        for deconv in self.deconvs[:-1]:
+            h = swish(deconv(h))
+        h = self.deconvs[-1](h)
+        return h.permute(0, 2, 3, 1)  # (B, H, W, 3) logits
+
+
+class TorchAttrEncoder(nn.Module):
+    """One tiny Gaussian expert for one binary attribute."""
+
+    def __init__(self, n_latents, hidden=64):
+        super().__init__()
+        self.net = nn.Sequential(
+            nn.Linear(1, hidden), nn.SiLU(), nn.Linear(hidden, 2 * n_latents)
+        )
+        self.n_latents = n_latents
+
+    def forward(self, a):  # (B,) float
+        o = self.net(a[:, None])
+        return o[:, : self.n_latents], o[:, self.n_latents :]
+
+
+class TorchAttrDecoder(nn.Module):
+    def __init__(self, n_latents, hidden=64):
+        super().__init__()
+        self.net = nn.Sequential(
+            nn.Linear(n_latents, hidden), nn.SiLU(), nn.Linear(hidden, 1)
+        )
+
+    def forward(self, z):
+        return self.net(z)[:, 0]
+
+
+class TorchCelebAMVAE(nn.Module):
+    """Reference-family CelebA MVAE: image + 18 attribute experts."""
+
+    def __init__(self, n_latents=100, n_attrs=18):
+        super().__init__()
+        self.n_latents = n_latents
+        self.n_attrs = n_attrs
+        self.image_enc = TorchConvEncoder(n_latents)
+        self.image_dec = TorchDeconvDecoder(n_latents)
+        self.attr_encs = nn.ModuleList(
+            TorchAttrEncoder(n_latents) for _ in range(n_attrs)
+        )
+        self.attr_decs = nn.ModuleList(
+            TorchAttrDecoder(n_latents) for _ in range(n_attrs)
+        )
+
+    def infer(self, image=None, attrs=None, attr_mask=None):
+        batch = image.shape[0] if image is not None else attrs.shape[0]
+        mus = [torch.zeros(batch, 1, self.n_latents)]
+        lvs = [torch.zeros(batch, 1, self.n_latents)]
+        if image is not None:
+            m, l = self.image_enc(image)
+            mus.append(m[:, None]); lvs.append(l[:, None])
+        if attrs is not None:
+            for i, enc in enumerate(self.attr_encs):
+                if attr_mask is None or attr_mask[i]:
+                    m, l = enc(attrs[:, i])
+                    mus.append(m[:, None]); lvs.append(l[:, None])
+        return torch_poe(torch.cat(mus, 1), torch.cat(lvs, 1))
+
+    def forward(self, image=None, attrs=None, attr_mask=None, sample=True):
+        mu, logvar = self.infer(image, attrs, attr_mask)
+        z = (
+            mu + torch.randn_like(mu) * torch.exp(0.5 * logvar)
+            if sample
+            else mu
+        )
+        recon_attrs = torch.stack(
+            [dec(z) for dec in self.attr_decs], dim=1
+        )
+        return self.image_dec(z), recon_attrs, mu, logvar
+
+
+def torch_celeba_elbo_term(
+    recon_image, image, recon_attrs, attrs, subset, mu, logvar,
+    lambda_image=1.0, lambda_attr=10.0, beta=1.0,
+):
+    """subset: bool list over [image, attr_0..17]."""
+    loss = torch.zeros(mu.shape[0])
+    if subset[0]:
+        loss = loss + lambda_image * F.binary_cross_entropy_with_logits(
+            recon_image.flatten(1), image.flatten(1), reduction="none"
+        ).sum(-1)
+    for i in range(attrs.shape[1]):
+        if subset[1 + i]:
+            loss = loss + lambda_attr * F.binary_cross_entropy_with_logits(
+                recon_attrs[:, i], attrs[:, i], reduction="none"
+            )
+    kl = -0.5 * torch.sum(1 + logvar - mu.pow(2) - logvar.exp(), dim=-1)
+    return loss + beta * kl
+
+
+def torch_celeba_multi_term_loss(
+    model, image, attrs, beta=1.0, n_random_subsets=4, sample=True,
+    generator=None,
+):
+    """Reference hot loop: one forward per subset (joint + 19 unimodal +
+    k random) -- the multi-forward structure SURVEY.md 3a describes."""
+    n_mod = 1 + model.n_attrs
+    subsets = [[True] * n_mod]
+    for m in range(n_mod):
+        subsets.append([i == m for i in range(n_mod)])
+    for _ in range(n_random_subsets):
+        bits = torch.randint(0, 2, (n_mod,), generator=generator)
+        subsets.append([bool(b) for b in bits])
+    total = torch.zeros(image.shape[0])
+    for subset in subsets:
+        img_in = image if subset[0] else None
+        attr_in = attrs if any(subset[1:]) else None
+        ri, ra, mu, lv = model(
+            img_in, attr_in, attr_mask=subset[1:], sample=sample
+        )
+        total = total + torch_celeba_elbo_term(
+            ri, image, ra, attrs, subset, mu, lv, beta=beta
+        )
+    return total.mean()
