@@ -140,7 +140,7 @@ def main(argv=None) -> int:
             temperature=args.temperature,
             dtype=dtype,
         )
-        _dump(out, args.out)
+        _dump(out, args.out, config_name=args.config)
         return 0
 
     if args.cmd == "generate":
@@ -165,25 +165,45 @@ def main(argv=None) -> int:
             temperature=args.temperature,
             dtype=dtype,
         )
-        _dump(out, args.out)
+        _dump(out, args.out, config_name=args.config)
         return 0
 
     return 1
 
 
-def _dump(out: dict, path: str | None) -> None:
+def _decode_text(tokens: np.ndarray, config_name: str) -> list[str]:
+    """Human-readable decode of generated token sequences."""
+    if config_name == "cub":
+        from mmvae_tpu.data.synthetic import cub_vocab
+
+        vocab = cub_vocab()
+        return [vocab.decode(row) for row in tokens[:8]]
+    # multimnist digit strings: token d+3 -> digit d.
+    out = []
+    for row in tokens[:8]:
+        digits = [str(int(t) - 3) for t in row if t >= 3]
+        out.append("".join(digits))
+    return out
+
+
+def _dump(out: dict, path: str | None, config_name: str = "") -> None:
     shapes = {k: list(np.asarray(v).shape) for k, v in out.items()}
+    text = (
+        {"text_decoded": _decode_text(np.asarray(out["text"]), config_name)}
+        if "text" in out
+        else {}
+    )
     if path and path.endswith(".png"):
         # Reference sample.py parity: save the decoded images as a grid.
         from mmvae_tpu.utils import save_image_grid
 
         save_image_grid(np.asarray(out["image"]), path)
-        print(json.dumps({"written": path, "shapes": shapes}))
+        print(json.dumps({"written": path, "shapes": shapes, **text}))
     elif path:
         np.savez(path, **{k: np.asarray(v) for k, v in out.items()})
-        print(json.dumps({"written": path, "shapes": shapes}))
+        print(json.dumps({"written": path, "shapes": shapes, **text}))
     else:
-        print(json.dumps({"shapes": shapes}))
+        print(json.dumps({"shapes": shapes, **text}))
 
 
 if __name__ == "__main__":

@@ -62,9 +62,11 @@ def _render_digits(labels, rng, hw: int = 28) -> np.ndarray:
     gh, gw = big.shape[1:]
     n = len(labels)
     canvases = np.zeros((n, hw, hw), dtype=np.float32)
-    max_y, max_x = hw - gh, hw - gw
-    ys = rng.integers(0, max_y + 1, size=n)
-    xs = rng.integers(0, max_x + 1, size=n)
+    # Real MNIST is center-normalized; place the glyph centered with a
+    # small +-2 px jitter rather than anywhere on the canvas.
+    cy, cx = (hw - gh) // 2, (hw - gw) // 2
+    ys = np.clip(cy + rng.integers(-2, 3, size=n), 0, hw - gh)
+    xs = np.clip(cx + rng.integers(-2, 3, size=n), 0, hw - gw)
     thick = rng.uniform(0.75, 1.0, size=n).astype(np.float32)
     for i in range(n):
         canvases[i, ys[i] : ys[i] + gh, xs[i] : xs[i] + gw] = (

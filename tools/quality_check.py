@@ -1,0 +1,146 @@
+"""Cross-modal quality report for a trained checkpoint.
+
+Usage:  python tools/quality_check.py <config> <workdir>
+
+Reports the MVAE-paper style cross-modal evals (SURVEY.md 2.13):
+  * image -> label accuracy: condition on test images only, decode labels
+    (cross-modal classification through the shared latent);
+  * label -> image -> label round trip: generate images conditioned on
+    each label, re-encode the generated image alone, decode the label;
+  * joint-sample consistency: prior samples decoded into both modalities,
+    then image re-encoded -- do the two decodes agree?
+
+Works for the label-bearing configs (mnist, fashionmnist). Writes sample
+grids next to the checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def check_celeba(config, model, params, workdir: str) -> dict:
+    """Attr <-> image round trips for the 19-expert config."""
+    from mmvae_tpu import api
+    from mmvae_tpu.data import load_dataset
+    from mmvae_tpu.utils import save_image_grid
+
+    test = load_dataset("celeba", "test", n=512)
+    images = test.arrays["image"]
+    attrs = np.asarray(test.arrays["attrs"])
+
+    out = api.generate(config, {"image": images}, model=model, params=params)
+    img2attr = float(
+        ((np.asarray(out["attrs"]) > 0.5) == (attrs > 0.5)).mean()
+    )
+    gen = api.generate(
+        config, {"attrs": attrs[:256]}, model=model, params=params,
+        sample_z=True, seed=1,
+    )
+    back = api.generate(
+        config, {"image": np.asarray(gen["image"])},
+        model=model, params=params,
+    )
+    roundtrip = float(
+        ((np.asarray(back["attrs"]) > 0.5) == (attrs[:256] > 0.5)).mean()
+    )
+    save_image_grid(
+        np.asarray(gen["image"])[:64],
+        os.path.join(workdir, "attr_conditioned.png"),
+    )
+    return {
+        "config": "celeba",
+        "image_to_attr_accuracy": round(img2attr, 4),
+        "attr_to_image_to_attr_accuracy": round(roundtrip, 4),
+        "test_elbo": api.eval_elbo(config, model=model, params=params),
+    }
+
+
+def main(config_name: str, workdir: str) -> int:
+    import jax
+
+    from mmvae_tpu import api
+    from mmvae_tpu.configs import build_model, get_config
+    from mmvae_tpu.data import load_dataset
+    from mmvae_tpu.utils import save_image_grid
+
+    config = get_config(config_name)
+    model = build_model(config)
+    params = api._load_params(config, model, workdir)
+
+    if config_name == "celeba":
+        report = check_celeba(config, model, params, workdir)
+        print(json.dumps(report, indent=2))
+        with open(os.path.join(workdir, "quality.json"), "w") as f:
+            json.dump(report, f, indent=2)
+        return 0
+
+    test = load_dataset(config.dataset, "test", n=1000)
+    images = test.arrays["image"]
+    labels = np.asarray(test.arrays["label"])
+
+    # image -> label
+    out = api.generate(
+        config, {"image": images}, model=model, params=params
+    )
+    img2lab = float((np.asarray(out["label"]) == labels).mean())
+
+    # label -> image -> label
+    per_label = 32
+    cond_labels = np.repeat(np.arange(10), per_label).astype(np.int32)
+    gen = api.generate(
+        config,
+        {"label": cond_labels},
+        model=model,
+        params=params,
+        sample_z=True,
+        seed=1,
+    )
+    back = api.generate(
+        config,
+        {"image": np.asarray(gen["image"])},
+        model=model,
+        params=params,
+    )
+    roundtrip = float((np.asarray(back["label"]) == cond_labels).mean())
+    save_image_grid(
+        np.asarray(gen["image"])[::per_label // 4],
+        os.path.join(workdir, "label_conditioned.png"),
+        n_cols=10,
+    )
+
+    # joint prior samples: label decode vs re-encoded-image decode
+    joint = api.sample(config, n=256, model=model, params=params, seed=2)
+    again = api.generate(
+        config,
+        {"image": np.asarray(joint["image"])},
+        model=model,
+        params=params,
+    )
+    consistency = float(
+        (np.asarray(joint["label"]) == np.asarray(again["label"])).mean()
+    )
+    save_image_grid(
+        np.asarray(joint["image"])[:64],
+        os.path.join(workdir, "prior_samples.png"),
+    )
+
+    report = {
+        "config": config_name,
+        "image_to_label_accuracy": round(img2lab, 4),
+        "label_to_image_to_label_accuracy": round(roundtrip, 4),
+        "joint_sample_consistency": round(consistency, 4),
+        "test_elbo": api.eval_elbo(config, model=model, params=params),
+    }
+    print(json.dumps(report, indent=2))
+    with open(os.path.join(workdir, "quality.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
