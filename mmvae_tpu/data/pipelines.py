@@ -74,7 +74,17 @@ def load_dataset(
         defaults = {"train": 10000, "test": 2000}
         if seed is None:
             seed = {"train": 0, "test": 1_000_003}[split]
-        arrays = _GENERATORS[name](n or defaults[split], seed=seed)
+        gen = _GENERATORS[name]
+        if os.environ.get("MMVAE_DATAGEN") == "native":
+            # C++/OpenMP generators (native/datagen.cpp) for the two
+            # loop-heavy rasterizers -- ~5x the numpy path per core.
+            from mmvae_tpu.data import native as native_gen
+
+            if name == "celeba" and native_gen.available():
+                gen = native_gen.make_celeba_native
+            elif name == "multimnist" and native_gen.available():
+                gen = native_gen.make_multimnist_native
+        arrays = gen(n or defaults[split], seed=seed)
     if n is not None:
         arrays = {k: v[:n] for k, v in arrays.items()}
     size = len(next(iter(arrays.values())))
