@@ -97,3 +97,20 @@ def test_attribute_bank_is_per_attribute():
     # Only the attr_7 expert (modality index 1+7=8) changes.
     assert changed[:, 8].all()
     assert not changed[:, [i for i in range(19) if i != 8]].any()
+
+
+def test_bfloat16_compute_path():
+    """bf16 expert compute (MXU throughput mode); loss math stays f32."""
+    import jax
+    from mmvae_tpu.train import create_train_state, make_train_step
+
+    model = MnistMVAE(n_latents=8, dtype=jnp.bfloat16)
+    ds = load_dataset("mnist", n=16, seed=0)
+    state = create_train_state(model, ds.arrays, jax.random.key(0))
+    step = make_train_step(model, annealing_steps=5)
+    state, m = step(state, ds.arrays)
+    assert m["loss"].dtype == jnp.float32
+    assert np.isfinite(float(m["loss"]))
+    # params stayed f32
+    leaf = jax.tree.leaves(state.params)[0]
+    assert leaf.dtype == jnp.float32
