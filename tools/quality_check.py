@@ -60,6 +60,45 @@ def check_celeba(config, model, params, workdir: str) -> dict:
     }
 
 
+def check_text_config(config, model, params, workdir: str, name: str) -> dict:
+    """Image <-> token-sequence round trips (multimnist / cub)."""
+    from mmvae_tpu import api
+    from mmvae_tpu.data import load_dataset
+    from mmvae_tpu.utils import save_image_grid
+
+    test = load_dataset(name, "test", n=512)
+    images = test.arrays["image"]
+    texts = np.asarray(test.arrays["text"])
+
+    # image -> text: greedy decode conditioned on the image alone.
+    out = api.generate(
+        config, {"image": images}, model=model, params=params,
+        temperature=0.0,
+    )
+    gen = np.asarray(out["text"])
+    pad_mask = texts != 0
+    token_acc = float(
+        (np.where(pad_mask, gen == texts, True)).all(axis=1).mean()
+    )
+    per_token = float((gen[pad_mask] == texts[pad_mask]).mean())
+
+    # text -> image grid for visual inspection.
+    img_out = api.generate(
+        config, {"text": texts[:64]}, model=model, params=params,
+        sample_z=True, seed=1,
+    )
+    save_image_grid(
+        np.asarray(img_out["image"]),
+        os.path.join(workdir, "text_conditioned.png"),
+    )
+    return {
+        "config": name,
+        "image_to_text_exact_match": round(token_acc, 4),
+        "image_to_text_per_token_accuracy": round(per_token, 4),
+        "test_elbo": api.eval_elbo(config, model=model, params=params),
+    }
+
+
 def main(config_name: str, workdir: str) -> int:
     import jax
 
@@ -71,6 +110,15 @@ def main(config_name: str, workdir: str) -> int:
     config = get_config(config_name)
     model = build_model(config)
     params = api._load_params(config, model, workdir)
+
+    if config_name in ("multimnist", "cub"):
+        report = check_text_config(
+            config, model, params, workdir, config_name
+        )
+        print(json.dumps(report, indent=2))
+        with open(os.path.join(workdir, "quality.json"), "w") as f:
+            json.dump(report, f, indent=2)
+        return 0
 
     if config_name == "celeba":
         report = check_celeba(config, model, params, workdir)
