@@ -98,7 +98,11 @@ def train(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        stacked_sharding = NamedSharding(mesh, P(None, "data"))
+        # Leading axis = steps (unsharded), batch axis over every mesh
+        # axis (data on 1-D meshes; (dcn, data) on multi-slice meshes).
+        stacked_sharding = NamedSharding(
+            mesh, P(None, tuple(mesh.axis_names))
+        )
 
     writer = MetricsWriter(workdir) if workdir is not None else None
     np_rng = np.random.default_rng(seed)

@@ -25,16 +25,36 @@ __all__ = [
 ]
 
 
-def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
-    """1-D mesh over ``devices`` (default: all local devices)."""
+def make_mesh(
+    devices=None, axis_name: str = "data", n_slices: int = 1
+) -> Mesh:
+    """Device mesh for data-parallel training.
+
+    ``n_slices == 1``: 1-D ``(data,)`` mesh over all chips (ICI only).
+    ``n_slices > 1``: 2-D ``(dcn, data)`` mesh -- the leading axis spans
+    slices (gradient reduction crosses DCN once), the trailing axis spans
+    chips within a slice (ICI). Device order must be slice-major, which
+    ``jax.devices()`` already is for multi-slice topologies.
+    """
     if devices is None:
         devices = jax.devices()
-    return Mesh(np.asarray(devices), (axis_name,))
+    devices = np.asarray(devices)
+    if n_slices == 1:
+        return Mesh(devices, (axis_name,))
+    if len(devices) % n_slices:
+        raise ValueError(
+            f"{len(devices)} devices not divisible by {n_slices} slices"
+        )
+    grid = devices.reshape(n_slices, len(devices) // n_slices)
+    return Mesh(grid, ("dcn", axis_name))
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
-    """Shard the leading (batch) axis over the mesh."""
-    return NamedSharding(mesh, P(axis_name))
+    """Shard the leading (batch) axis over every mesh axis.
+
+    On a 2-D (dcn, data) mesh the batch is sharded over both: GSPMD then
+    reduces gradients hierarchically (ICI within a slice, DCN across)."""
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

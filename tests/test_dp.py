@@ -79,3 +79,27 @@ def test_replicated_state_layout(setup):
     rep = replicate(fresh_state(), mesh)
     leaf = jax.tree.leaves(rep.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_multislice_mesh_matches_single_device(setup):
+    """2-D (dcn, data) mesh: hierarchical gradient reduction must still
+    match the single-device step (SURVEY.md section 5, comms row)."""
+    model, batch, fresh_state = setup
+    step = make_train_step(model, annealing_steps=10)
+
+    s1 = fresh_state()
+    for _ in range(2):
+        s1, m1 = step(s1, batch)
+
+    mesh = make_mesh(n_slices=2)  # 2 fake slices x 4 chips
+    assert mesh.axis_names == ("dcn", "data")
+    s2 = replicate(fresh_state(), mesh)
+    sharded = shard_batch(batch, mesh)
+    # batch axis is sharded over both mesh axes (8-way total)
+    assert len(sharded["image"].addressable_shards) == 8
+    for _ in range(2):
+        s2, m2 = step(s2, sharded)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-4
+    )

@@ -22,6 +22,10 @@ import sys
 
 import numpy as np
 
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 
 def check_celeba(config, model, params, workdir: str) -> dict:
     """Attr <-> image round trips for the 19-expert config."""

@@ -10,9 +10,15 @@ from __future__ import annotations
 import sys
 import time
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from mmvae_tpu.core.elbo import kl_std_normal as kl_jnp
 from mmvae_tpu.core.likelihoods import bernoulli_nll as bce_jnp
