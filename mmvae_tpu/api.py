@@ -16,13 +16,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from mmvae_tpu.configs import ExperimentConfig, build_model, get_config
-from mmvae_tpu.data import epoch_batches, load_dataset, stacked_epoch
+from mmvae_tpu.data import load_dataset, stacked_epoch
 from mmvae_tpu.core import product_of_experts, reparameterize
 from mmvae_tpu.parallel import make_mesh, replicate
 from mmvae_tpu.train import (
     create_train_state,
     make_epoch_runner,
-    make_eval_step,
+    make_eval_runner,
 )
 from mmvae_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from mmvae_tpu.train.metrics import AverageMeter, MetricsWriter
@@ -194,12 +194,12 @@ def eval_elbo(
     if dataset is None:
         dataset = load_dataset(config.dataset, split, n=config.test_size)
     batch_size = batch_size or config.batch_size
-    eval_step = make_eval_step(model)
-    meter = AverageMeter()
-    for batch in epoch_batches(dataset, batch_size):
-        metrics = eval_step(params, batch)
-        meter.update(float(metrics["loss"]), batch_size)
-    return meter.avg
+    # Whole split as one scan-fused program: one dispatch, one fetch
+    # (the per-batch loop costs ~2ms dispatch + a host sync per batch).
+    batches = stacked_epoch(dataset, batch_size)
+    runner = make_eval_runner(model)
+    ms = runner(params, batches)
+    return float(np.asarray(ms["loss"]).mean())
 
 
 def _load_params(config, model, workdir, which: str = "best"):

@@ -3,6 +3,7 @@
 from mmvae_tpu.train.step import (
     make_train_step,
     make_eval_step,
+    make_eval_runner,
     make_epoch_runner,
     multi_term_loss,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "make_train_step",
     "make_epoch_runner",
     "make_eval_step",
+    "make_eval_runner",
     "multi_term_loss",
     "TrainState",
     "create_train_state",

@@ -235,3 +235,28 @@ def make_eval_step(model) -> Callable:
         return metrics
 
     return eval_step
+
+
+def make_eval_runner(model) -> Callable:
+    """Scan-fused eval over pre-stacked ``(n_batches, B, ...)`` data:
+    one dispatch + one host fetch for the whole split (the eval-side
+    twin of ``make_epoch_runner``). Returns per-batch stacked metrics."""
+
+    @jax.jit
+    def run_eval(params, batches):
+        def body(_, batch):
+            _, metrics = multi_term_loss(
+                model,
+                params,
+                batch,
+                jax.random.key(0),
+                beta=1.0,
+                n_random_subsets=0,
+                sample=False,
+            )
+            return None, metrics
+
+        _, ms = jax.lax.scan(body, None, batches)
+        return ms
+
+    return run_eval
