@@ -72,7 +72,8 @@ def train(
         k: v[: config.batch_size] for k, v in train_ds.arrays.items()
     }
     state = create_train_state(
-        model, init_batch, rng, config.learning_rate
+        model, init_batch, rng, config.learning_rate,
+        grad_clip=config.grad_clip,
     )
     start_epoch = 1
     best = float("inf")
@@ -120,6 +121,7 @@ def train(
             kls = np.asarray(ms["kl_per_term"])
             recons = np.asarray(ms["recon_per_term"])
             betas = np.asarray(ms["beta"])
+            grad_norms = np.asarray(ms["grad_norm"])
             base_step = int(state.step) - len(losses)
             for i in range(0, len(losses), li):
                 writer.write(
@@ -129,6 +131,7 @@ def train(
                         "step": base_step + i + 1,
                         "loss": losses[i],
                         "beta": betas[i],
+                        "grad_norm": grad_norms[i],
                         "elbo_per_term": per_term[i],
                         "kl_per_term": kls[i],
                         "recon_per_term": recons[i],

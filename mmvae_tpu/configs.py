@@ -37,6 +37,7 @@ class ExperimentConfig:
     annealing_epochs: int = 10  # --annealing-epochs (SURVEY.md 2.9)
     n_random_subsets: int = 0  # k sub-sampled modality combinations [B:5]
     p_modality_drop: float = 0.0  # data-side modality dropout [B:5]
+    grad_clip: float = 0.0  # global-norm gradient clipping (0 = off)
     train_size: int = 10000
     test_size: int = 2000
     log_interval: int = 100
@@ -63,7 +64,7 @@ CONFIGS: dict[str, ExperimentConfig] = {
     # 4. CelebA image + 18 attrs -- per-attribute experts, k subsets [B:10]
     "celeba": ExperimentConfig(
         name="celeba", dataset="celeba", n_latents=100,
-        batch_size=64, n_random_subsets=4,
+        batch_size=64, n_random_subsets=4, grad_clip=500.0,
     ),
     # 5. CUB images + captions -- conv + text experts, largest [B:11]
     "cub": ExperimentConfig(

@@ -49,6 +49,13 @@ def product_of_experts(
     Returns:
       ``(mu_fused, logvar_fused)`` each of shape ``(..., latent)``.
     """
+    # Bound expert log-variances before inversion: an unconstrained
+    # encoder can drive logvar past float range mid-training (observed as
+    # a NaN blowup on the 19-expert CelebA run at epoch 17), and
+    # exp(-logvar) then overflows to inf precision. +-11 keeps precisions
+    # in [1.7e-5, 6e4] -- far outside the operating range of a trained
+    # model, so fused posteriors are unaffected in normal operation.
+    logvar = jnp.clip(logvar, -11.0, 11.0)
     precision = 1.0 / (jnp.exp(logvar) + eps)
     if mask is not None:
         mask = jnp.asarray(mask, dtype=precision.dtype)

@@ -37,14 +37,24 @@ class TrainState(struct.PyTreeNode):
 
 
 def create_train_state(
-    model, example_batch, rng, learning_rate: float = 1e-3
+    model,
+    example_batch,
+    rng,
+    learning_rate: float = 1e-3,
+    grad_clip: float = 0.0,
 ) -> TrainState:
-    """Initialize params (via a teacher-forced forward) and Adam."""
+    """Initialize params (via a teacher-forced forward) and Adam.
+
+    ``grad_clip > 0`` prepends global-norm clipping -- needed for the
+    large multi-term configs (CelebA's 24-term loss can spike, see
+    docs/DESIGN.md section 8)."""
     init_rng, state_rng = jax.random.split(rng)
     variables = model.init(
         init_rng, example_batch, rng=init_rng, sample=True
     )
     tx = optax.adam(learning_rate)
+    if grad_clip > 0.0:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), dtype=jnp.int32),

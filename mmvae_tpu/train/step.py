@@ -27,6 +27,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from mmvae_tpu.core import (
     annealing_factor,
@@ -38,7 +39,13 @@ from mmvae_tpu.core import (
 from mmvae_tpu.core.poe import product_of_experts
 from mmvae_tpu.ops import kl_std_normal
 
-__all__ = ["multi_term_loss", "make_train_step", "make_eval_step"]
+__all__ = [
+    "multi_term_loss",
+    "make_train_step",
+    "make_epoch_runner",
+    "make_eval_step",
+    "make_eval_runner",
+]
 
 
 def _tile_terms(tree, n_terms: int):
@@ -180,6 +187,7 @@ def _train_step_impl(
         )
         state = state.apply_gradients(grads, new_rng)
         metrics["beta"] = beta
+        metrics["grad_norm"] = optax.global_norm(grads)
         return state, metrics
 
     return train_step
