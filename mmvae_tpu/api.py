@@ -27,11 +27,51 @@ from mmvae_tpu.train import (
 from mmvae_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from mmvae_tpu.train.metrics import AverageMeter, MetricsWriter
 
-__all__ = ["train", "eval_elbo", "sample", "generate", "TrainResult"]
+__all__ = [
+    "train",
+    "eval_elbo",
+    "sample",
+    "generate",
+    "TrainResult",
+    "load_run_config",
+]
 
 
 def _resolve(config) -> ExperimentConfig:
     return get_config(config) if isinstance(config, str) else config
+
+
+def _save_run_config(workdir: str, config: ExperimentConfig) -> None:
+    """Snapshot the experiment config next to the checkpoints so later
+    eval/sample/generate rebuild the exact same model (no flag-matching
+    footgun)."""
+    import dataclasses
+    import json
+
+    os.makedirs(workdir, exist_ok=True)
+    with open(os.path.join(workdir, "config.json"), "w") as f:
+        json.dump(dataclasses.asdict(config), f, indent=2)
+
+
+def load_run_config(workdir: str) -> ExperimentConfig | None:
+    """Config snapshot saved by :func:`train`, or None if absent."""
+    import json
+
+    path = os.path.join(workdir, "config.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return ExperimentConfig(**json.load(f))
+
+
+def _resolve_with_workdir(config, workdir: str | None) -> ExperimentConfig:
+    """Prefer the workdir's config snapshot (exact trained model) when
+    the caller passed only a config name."""
+    if isinstance(config, str) and workdir is not None:
+        stored = load_run_config(workdir)
+        if stored is not None and stored.name == config:
+            return stored
+    return _resolve(config)
 
 
 class TrainResult(NamedTuple):
@@ -59,6 +99,8 @@ def train(
     but as one jitted multi-term step over a data-parallel mesh.
     """
     config = _resolve(config)
+    if workdir is not None:
+        _save_run_config(workdir, config)
     model = build_model(config, dtype=dtype)
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
 
@@ -185,9 +227,10 @@ def eval_elbo(
     """Mean multi-term ELBO over a split -- the parity metric [B:2].
 
     beta pinned to 1, z = posterior mean (SURVEY.md 3c). Provide either
-    ``params`` (+ ``model``) or a ``workdir`` with a checkpoint.
+    ``params`` (+ ``model``) or a ``workdir`` with a checkpoint (its
+    config snapshot is used when only a config name was given).
     """
-    config = _resolve(config)
+    config = _resolve_with_workdir(config, workdir)
     if model is None:
         model = build_model(config, dtype=dtype)
     if params is None:
@@ -196,7 +239,7 @@ def eval_elbo(
         params = _load_params(config, model, workdir)
     if dataset is None:
         dataset = load_dataset(config.dataset, split, n=config.test_size)
-    batch_size = batch_size or config.batch_size
+    batch_size = min(batch_size or config.batch_size, dataset.size)
     # Whole split as one scan-fused program: one dispatch, one fetch
     # (the per-batch loop costs ~2ms dispatch + a host sync per batch).
     batches = stacked_epoch(dataset, batch_size)
@@ -208,7 +251,7 @@ def eval_elbo(
 def _load_params(config, model, workdir, which: str = "best"):
     state = create_train_state(
         model, model.dummy_batch(2), jax.random.key(0),
-        config.learning_rate,
+        config.learning_rate, grad_clip=config.grad_clip,
     )
     state, _ = load_checkpoint(workdir, state, which=which)
     return state.params
@@ -290,7 +333,7 @@ def generate(
     modalities are decoded. CelebA accepts either ``attrs`` (all 18) or
     individual ``attr_i`` keys, matching its per-attribute experts.
     """
-    config = _resolve(config)
+    config = _resolve_with_workdir(config, workdir)
     if model is None:
         model = build_model(config, dtype=dtype)
     if params is None:

@@ -107,10 +107,18 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     from mmvae_tpu import api
+    from mmvae_tpu.api import load_run_config as api_load_run_config
     from mmvae_tpu.configs import get_config
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    config = _overrides(args, get_config(args.config))
+    # Non-train commands start from the workdir's config snapshot (the
+    # exact trained model); explicit flags still override.
+    base = None
+    if args.cmd != "train" and args.workdir:
+        base = api_load_run_config(args.workdir)
+        if base is not None and base.name != args.config:
+            base = None
+    config = _overrides(args, base or get_config(args.config))
 
     if args.cmd == "train":
         result = api.train(

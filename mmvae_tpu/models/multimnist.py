@@ -26,6 +26,7 @@ class MultiMnistMVAE(MVAEBase):
     max_len: int = SEQ_LEN
     lambda_image: float = 1.0
     lambda_text: float = 10.0
+    conv_features: tuple[int, ...] = (32, 64)
     dtype: jnp.dtype = jnp.float32
 
     def specs(self):
@@ -37,10 +38,13 @@ class MultiMnistMVAE(MVAEBase):
     def setup(self):
         kw = dict(dtype=self.dtype)
         self.image_enc = ConvEncoder(
-            self.n_latents, features=(32, 64), **kw
+            self.n_latents, features=self.conv_features, **kw
         )
         self.image_dec = DeconvDecoder(
-            self.image_hw, channels=1, features=(64, 32), **kw
+            self.image_hw,
+            channels=1,
+            features=tuple(reversed(self.conv_features)),
+            **kw,
         )
         self.text_enc = SeqEncoder(
             self.n_latents, DIGIT_VOCAB, embed_dim=64, hidden=128, **kw

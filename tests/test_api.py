@@ -148,3 +148,24 @@ def test_celeba_generate_from_attrs(tmp_path):
         cfg, {"attr_6": np.ones(2, np.float32)}, n=2, workdir=workdir
     )
     assert out2["image"].shape == (2, 64, 64, 3)
+
+
+def test_config_snapshot_roundtrip(tmp_path):
+    """train saves config.json; later calls with just the config name
+    rebuild the exact trained model (custom model_kwargs included)."""
+    cfg = get_config("mnist").replace(
+        n_latents=12,  # non-default on purpose
+        epochs=1,
+        batch_size=16,
+        train_size=32,
+        test_size=16,
+    )
+    workdir = str(tmp_path)
+    api.train(cfg, workdir, use_mesh=False, verbose=False)
+    stored = api.load_run_config(workdir)
+    assert stored is not None and stored.n_latents == 12
+    # Name-only call picks up the snapshot (12 latents, not default 64).
+    elbo = api.eval_elbo("mnist", workdir=workdir)
+    assert np.isfinite(elbo)
+    out = api.sample("mnist", n=2, workdir=workdir)
+    assert out["image"].shape == (2, 28, 28)

@@ -111,7 +111,7 @@ def main(config_name: str, workdir: str) -> int:
     from mmvae_tpu.data import load_dataset
     from mmvae_tpu.utils import save_image_grid
 
-    config = get_config(config_name)
+    config = api.load_run_config(workdir) or get_config(config_name)
     model = build_model(config)
     params = api._load_params(config, model, workdir)
 
