@@ -136,6 +136,7 @@ def train(
         n_random_subsets=config.n_random_subsets,
         annealing_steps=annealing_steps,
         p_modality_drop=config.p_modality_drop,
+        cross_recon=config.cross_recon,
     )
     stacked_sharding = None
     if mesh is not None:

@@ -38,6 +38,9 @@ class ExperimentConfig:
     n_random_subsets: int = 0  # k sub-sampled modality combinations [B:5]
     p_modality_drop: float = 0.0  # data-side modality dropout [B:5]
     grad_clip: float = 0.0  # global-norm gradient clipping (0 = off)
+    cross_recon: bool = False  # reconstruct all modalities from every
+    # subset posterior (cross-modal supervision beyond reference
+    # semantics; see docs/DESIGN.md section 9)
     train_size: int = 10000
     test_size: int = 2000
     log_interval: int = 100
@@ -60,6 +63,7 @@ CONFIGS: dict[str, ExperimentConfig] = {
     # 3. MultiMNIST -- conv encoder + digit-string sequence decoder [B:9]
     "multimnist": ExperimentConfig(
         name="multimnist", dataset="multimnist", n_latents=64,
+        cross_recon=True, grad_clip=500.0,
     ),
     # 4. CelebA image + 18 attrs -- per-attribute experts, k subsets [B:10]
     "celeba": ExperimentConfig(

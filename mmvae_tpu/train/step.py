@@ -68,12 +68,21 @@ def multi_term_loss(
     *,
     n_random_subsets: int = 0,
     sample: bool = True,
+    cross_recon: bool = False,
 ):
     """Total multi-term ELBO loss (batch mean) + per-term metrics.
 
     ``batch`` maps modality names to targets, plus an optional
     ``"presence"`` key: ``(B, M)`` float mask of which modalities each
     example actually carries (modality dropout, SURVEY.md 2.10).
+
+    ``cross_recon=False`` (reference semantics, SURVEY.md 2.8): each
+    subset term reconstructs only its own modalities. ``cross_recon=True``
+    additionally reconstructs EVERY modality from every subset posterior
+    -- direct cross-modal supervision for configs where the unimodal
+    posteriors otherwise drift from the joint one (observed on
+    MultiMNIST: image-only z reconstructed images pixel-perfectly but the
+    text decoder could not read it; see docs/DESIGN.md section 9).
     """
     rng_subset, rng_z = jax.random.split(rng)
     n_mod = model.n_modalities
@@ -117,7 +126,8 @@ def multi_term_loss(
         nll = nll * presence.T[None]  # (T, M, B) * (1, M, B)
 
     kl = kl_std_normal(fused_mu, fused_lv)  # (T, B)
-    return elbo_terms(nll, kl, masks, model.lambdas(), beta)
+    recon_masks = jnp.ones_like(masks) if cross_recon else masks
+    return elbo_terms(nll, kl, recon_masks, model.lambdas(), beta)
 
 
 def make_train_step(
@@ -126,6 +136,7 @@ def make_train_step(
     n_random_subsets: int = 0,
     annealing_steps: int = 0,
     p_modality_drop: float = 0.0,
+    cross_recon: bool = False,
 ) -> Callable:
     """Build the jitted train step: ``(state, batch) -> (state, metrics)``.
 
@@ -141,6 +152,7 @@ def make_train_step(
         n_random_subsets=n_random_subsets,
         annealing_steps=annealing_steps,
         p_modality_drop=p_modality_drop,
+        cross_recon=cross_recon,
     )
     return jax.jit(impl, donate_argnums=0)
 
@@ -151,6 +163,7 @@ def _train_step_impl(
     n_random_subsets: int,
     annealing_steps: int,
     p_modality_drop: float,
+    cross_recon: bool = False,
 ) -> Callable:
     """Unjitted step body, shared by the per-step jit and the epoch scan."""
 
@@ -179,6 +192,7 @@ def _train_step_impl(
                 beta,
                 n_random_subsets=n_random_subsets,
                 sample=True,
+                cross_recon=cross_recon,
             )
             return loss, metrics
 
@@ -199,6 +213,7 @@ def make_epoch_runner(
     n_random_subsets: int = 0,
     annealing_steps: int = 0,
     p_modality_drop: float = 0.0,
+    cross_recon: bool = False,
 ) -> Callable:
     """Build the scan-fused epoch runner: ``(state, batches) -> ...``.
 
@@ -213,6 +228,7 @@ def make_epoch_runner(
         n_random_subsets=n_random_subsets,
         annealing_steps=annealing_steps,
         p_modality_drop=p_modality_drop,
+        cross_recon=cross_recon,
     )
 
     @partial(jax.jit, donate_argnums=0)

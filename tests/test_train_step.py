@@ -161,3 +161,32 @@ def test_epoch_runner_modality_drop_runs():
     batches = stacked_epoch(ds, 16, np.random.default_rng(0))
     state, ms = runner(state, batches)
     assert np.isfinite(np.asarray(ms["loss"])).all()
+
+
+def test_cross_recon_supervises_absent_modalities():
+    """cross_recon=True: every term reconstructs every modality (the
+    unimodal-image term now carries a label-recon contribution)."""
+    model, batch, state = _setup(n=8)
+    rng = jax.random.key(3)
+    _, m_ref = multi_term_loss(
+        model, state.params, batch, rng, beta=1.0, sample=False
+    )
+    _, m_x = multi_term_loss(
+        model, state.params, batch, rng, beta=1.0, sample=False,
+        cross_recon=True,
+    )
+    # KL identical (same posteriors), recon strictly larger per term.
+    np.testing.assert_allclose(
+        np.asarray(m_ref["kl_per_term"]), np.asarray(m_x["kl_per_term"]),
+        rtol=1e-6,
+    )
+    assert (
+        np.asarray(m_x["recon_per_term"])[1:]
+        > np.asarray(m_ref["recon_per_term"])[1:]
+    ).all()
+    # Joint term unchanged (it already reconstructs everything).
+    np.testing.assert_allclose(
+        float(m_x["recon_per_term"][0]),
+        float(m_ref["recon_per_term"][0]),
+        rtol=1e-6,
+    )
