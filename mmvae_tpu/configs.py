@@ -61,9 +61,13 @@ CONFIGS: dict[str, ExperimentConfig] = {
         name="fashionmnist", dataset="fashionmnist", n_latents=64,
     ),
     # 3. MultiMNIST -- conv encoder + digit-string sequence decoder [B:9]
+    # Validated settings (80.7% per-token image->digit-string accuracy,
+    # BASELINE.md): deeper conv, stronger text weight, cross-recon terms,
+    # MNIST-scale synthetic train set.
     "multimnist": ExperimentConfig(
-        name="multimnist", dataset="multimnist", n_latents=64,
-        cross_recon=True, grad_clip=500.0,
+        name="multimnist", dataset="multimnist", n_latents=128,
+        cross_recon=True, grad_clip=500.0, epochs=40, train_size=50000,
+        model_kwargs={"conv_features": (32, 64, 128), "lambda_text": 30.0},
     ),
     # 4. CelebA image + 18 attrs -- per-attribute experts, k subsets [B:10]
     "celeba": ExperimentConfig(
