@@ -1,0 +1,30 @@
+#!/bin/bash
+# Reproduce the BASELINE.md quality table end-to-end on the attached TPU.
+# Each run trains from scratch on seeded synthetic data, then reports
+# cross-modal metrics + grids into its workdir. Total ~2h wall
+# (dominated by per-process remote compiles; see docs/DESIGN.md section 7).
+set -ex
+cd "$(dirname "$0")/.."
+RUNS=${RUNS:-/tmp/mmvae_runs}
+
+python -m mmvae_tpu.cli train --config mnist --workdir $RUNS/mnist \
+    --epochs 100 --train-size 20000
+python tools/quality_check.py mnist $RUNS/mnist
+
+python -m mmvae_tpu.cli train --config fashionmnist \
+    --workdir $RUNS/fashionmnist --epochs 60
+python tools/quality_check.py fashionmnist $RUNS/fashionmnist
+
+python -m mmvae_tpu.cli train --config multimnist --workdir $RUNS/multimnist
+python tools/quality_check.py multimnist $RUNS/multimnist
+
+python -m mmvae_tpu.cli train --config celeba --workdir $RUNS/celeba \
+    --epochs 30
+python tools/quality_check.py celeba $RUNS/celeba
+
+python -m mmvae_tpu.cli train --config cub --workdir $RUNS/cub \
+    --epochs 40 --train-size 8000
+python tools/quality_check.py cub $RUNS/cub
+
+python bench.py
+python bench.py celeba
