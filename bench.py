@@ -111,7 +111,9 @@ def measure_jax() -> float:
     float(np.asarray(ms["loss"]).sum())
     # NOTE: block_until_ready returns early through the axon remote relay;
     # a host fetch of the metrics is the only honest completion barrier.
-    n_epochs = 5
+    # Enough epochs that compute (~40ms/epoch) dominates per-dispatch
+    # relay jitter.
+    n_epochs = 25
     t0 = time.perf_counter()
     for _ in range(n_epochs):
         batches = stacked_epoch(ds, BATCH, rng)
@@ -181,7 +183,7 @@ def measure_jax_celeba(batch: int = 64, steps: int = 50) -> float:
     rng = np.random.default_rng(0)
     state, ms = runner(state, stacked_epoch(ds, batch, rng))
     float(np.asarray(ms["loss"]).sum())
-    n_epochs = 3
+    n_epochs = 10
     t0 = time.perf_counter()
     for _ in range(n_epochs):
         state, ms = runner(state, stacked_epoch(ds, batch, rng))
