@@ -9,14 +9,14 @@ checkpointing wired through all four (SURVEY.md section 5).
 from __future__ import annotations
 
 import os
-from typing import Any, NamedTuple
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mmvae_tpu.configs import ExperimentConfig, build_model, get_config
-from mmvae_tpu.data import load_dataset, stacked_epoch
+from mmvae_tpu.data import load_dataset, stacked_epoch, stacked_epoch_padded
 from mmvae_tpu.core import product_of_experts, reparameterize
 from mmvae_tpu.parallel import make_mesh, replicate
 from mmvae_tpu.train import (
@@ -243,10 +243,38 @@ def eval_elbo(
     batch_size = min(batch_size or config.batch_size, dataset.size)
     # Whole split as one scan-fused program: one dispatch, one fetch
     # (the per-batch loop costs ~2ms dispatch + a host sync per batch).
-    batches = stacked_epoch(dataset, batch_size)
-    runner = make_eval_runner(model)
+    # The last batch is padded + presence-masked so the remainder
+    # examples still count (the parity metric covers the WHOLE split).
+    batches, valid = stacked_epoch_padded(dataset, batch_size)
+    batches["presence"] = (
+        valid[..., None]
+        * jnp.ones((model.n_modalities,), valid.dtype)
+    )
+    runner = _eval_runner(model)
     ms = runner(params, batches)
-    return float(np.asarray(ms["loss"]).mean())
+    # Pad rows contribute exactly 0 to each batch mean; undo the /bs.
+    return float(
+        np.asarray(ms["loss"]).sum() * batch_size / dataset.size
+    )
+
+
+# One eval runner per model: make_eval_runner returns a fresh jax.jit
+# closure each call, so without this cache every train() epoch would
+# retrace+recompile the eval program (~60s each on the remote-compile
+# TPU platform). Flax linen modules are frozen dataclasses -- equal
+# configurations share one runner.
+_EVAL_RUNNERS: dict[Any, Callable] = {}
+
+
+def _eval_runner(model):
+    try:
+        runner = _EVAL_RUNNERS.get(model)
+        if runner is None:
+            runner = make_eval_runner(model)
+            _EVAL_RUNNERS[model] = runner
+        return runner
+    except TypeError:  # unhashable model: fall back to a fresh runner
+        return make_eval_runner(model)
 
 
 def _load_params(config, model, workdir, which: str = "best"):

@@ -12,6 +12,7 @@ from mmvae_tpu.data.pipelines import (
     load_dataset,
     epoch_batches,
     stacked_epoch,
+    stacked_epoch_padded,
     sample_presence,
 )
 from mmvae_tpu.data.vocab import Vocab
@@ -21,6 +22,7 @@ __all__ = [
     "load_dataset",
     "epoch_batches",
     "stacked_epoch",
+    "stacked_epoch_padded",
     "sample_presence",
     "Vocab",
 ]

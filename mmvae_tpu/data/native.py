@@ -95,6 +95,11 @@ def make_celeba_native(n: int, seed: int = 0, hw: int = 64):
 def make_multimnist_native(
     n: int, seed: int = 0, hw: int = 50, max_digits: int = 4
 ):
+    if not 1 <= max_digits <= 8:
+        # The C++ side composites into a fixed 8-slot position buffer
+        # (and bails out on out-of-range values, leaving the output
+        # uninitialized) -- reject here with a real error instead.
+        raise ValueError(f"max_digits must be in [1, 8], got {max_digits}")
     lib = _load()
     images = np.empty((n, hw, hw), np.float32)
     tokens = np.empty((n, max_digits + 1), np.int32)

@@ -146,6 +146,29 @@ def stacked_epoch(
     return out
 
 
+def stacked_epoch_padded(
+    dataset: Dataset, batch_size: int
+) -> tuple[dict[str, jnp.ndarray], jnp.ndarray]:
+    """The whole split pre-stacked to ``(ceil(size/bs), bs, ...)``.
+
+    Unlike :func:`stacked_epoch` (which drops the remainder -- fine for
+    training, wrong for eval), the last batch is padded by wrapping to
+    the front of the split, and a ``(n_steps, bs)`` float validity mask
+    marks the real rows. Eval feeds the mask in as an all-modalities
+    presence mask, so pad rows contribute exactly zero to every ELBO
+    term (prior posterior -> KL 0; masked recon -> 0) and the caller
+    recovers the true split mean as ``sum(batch_means) * bs / size``.
+    """
+    size = dataset.size
+    n_steps = -(-size // batch_size)
+    total = n_steps * batch_size
+    idx = np.arange(total) % size
+    valid = (np.arange(total) < size).astype(np.float32)
+    idx_j = jnp.asarray(idx.reshape(n_steps, batch_size))
+    out = {k: jnp.take(v, idx_j, axis=0) for k, v in dataset.arrays.items()}
+    return out, jnp.asarray(valid.reshape(n_steps, batch_size))
+
+
 def sample_presence(
     rng: jax.Array,
     batch_size: int,

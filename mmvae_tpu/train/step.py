@@ -126,7 +126,17 @@ def multi_term_loss(
         nll = nll * presence.T[None]  # (T, M, B) * (1, M, B)
 
     kl = kl_std_normal(fused_mu, fused_lv)  # (T, B)
-    recon_masks = jnp.ones_like(masks) if cross_recon else masks
+    if cross_recon:
+        # Every modality is a target for every subset posterior -- except
+        # for an all-empty subset (possible when random subsets are drawn
+        # alongside cross_recon): its posterior is the prior, and
+        # reconstructing from pure noise is not supervision.
+        nonempty = (jnp.sum(masks, axis=-1, keepdims=True) > 0).astype(
+            masks.dtype
+        )
+        recon_masks = jnp.ones_like(masks) * nonempty
+    else:
+        recon_masks = masks
     return elbo_terms(nll, kl, recon_masks, model.lambdas(), beta)
 
 

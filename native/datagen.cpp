@@ -111,6 +111,9 @@ extern "C" {
 void mmvae_make_multimnist(uint64_t seed, int64_t n, int hw,
                            int max_digits, float* images,
                            int32_t* tokens) {
+  // xs[] below is fixed-size; max_digits is caller-controlled through
+  // the ctypes ABI, so bound it here (the Python wrapper validates too).
+  if (max_digits < 1 || max_digits > 8) return;
   const int scale = 2, gh = 7 * scale, gw = 5 * scale;
   const int seq_len = max_digits + 1;
 #pragma omp parallel for schedule(static)

@@ -169,3 +169,42 @@ def test_config_snapshot_roundtrip(tmp_path):
     assert np.isfinite(elbo)
     out = api.sample("mnist", n=2, workdir=workdir)
     assert out["image"].shape == (2, 28, 28)
+
+
+def test_eval_elbo_covers_split_remainder(trained, tiny_cfg):
+    """eval_elbo must score EVERY test example: with batch_size=48 and
+    64 examples, the 16-example remainder has to move the number
+    (round-1 bug: stacked_epoch silently truncated to 48)."""
+    result, _ = trained
+    from mmvae_tpu.data import load_dataset
+
+    ds = load_dataset("mnist", "test", n=64)
+    full = api.eval_elbo(
+        tiny_cfg, model=result.model, params=result.state.params,
+        dataset=ds, batch_size=48,
+    )
+    # Same params, same 64 examples, divisor batch: identical mean.
+    exact = api.eval_elbo(
+        tiny_cfg, model=result.model, params=result.state.params,
+        dataset=ds, batch_size=32,
+    )
+    np.testing.assert_allclose(full, exact, rtol=1e-5)
+    # Drop the remainder examples -> the value must change.
+    truncated_ds = load_dataset("mnist", "test", n=48)
+    truncated = api.eval_elbo(
+        tiny_cfg, model=result.model, params=result.state.params,
+        dataset=truncated_ds, batch_size=48,
+    )
+    assert abs(full - truncated) > 1e-6
+
+
+def test_eval_runner_memoized(trained, tiny_cfg):
+    """Repeated eval_elbo on the same model must reuse one jitted
+    runner (round-1: a fresh jax.jit closure per call recompiled the
+    eval program every epoch, ~60s each on the remote-compile TPU)."""
+    result, _ = trained
+    from mmvae_tpu.api import _eval_runner
+
+    r1 = _eval_runner(result.model)
+    r2 = _eval_runner(result.model)
+    assert r1 is r2

@@ -103,3 +103,29 @@ def test_cub_vocab_consistent_with_captions():
     assert toks.max() < len(v)
     text = v.decode(toks[0])
     assert text.startswith("this bird has a")
+
+
+def test_stacked_epoch_padded_masks_remainder():
+    from mmvae_tpu.data import load_dataset, stacked_epoch_padded
+
+    ds = load_dataset("mnist", n=50, seed=0)
+    batches, valid = stacked_epoch_padded(ds, 16)
+    assert batches["image"].shape == (4, 16, 28, 28)
+    assert valid.shape == (4, 16)
+    v = np.asarray(valid)
+    assert v[:3].all() and v[3, :2].all() and not v[3, 2:].any()
+    # Every real example appears exactly once among the valid rows.
+    imgs = np.asarray(batches["image"]).reshape(64, -1)[v.reshape(-1) > 0]
+    ref = np.asarray(ds.arrays["image"]).reshape(50, -1)
+    np.testing.assert_array_equal(imgs, ref)
+
+
+def test_native_multimnist_rejects_bad_max_digits():
+    import pytest as _pytest
+
+    from mmvae_tpu.data import native as native_gen
+
+    with _pytest.raises(ValueError):
+        native_gen.make_multimnist_native(4, max_digits=9)
+    with _pytest.raises(ValueError):
+        native_gen.make_multimnist_native(4, max_digits=0)

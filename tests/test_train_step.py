@@ -190,3 +190,36 @@ def test_cross_recon_supervises_absent_modalities():
         float(m_ref["recon_per_term"][0]),
         rtol=1e-6,
     )
+
+
+def test_cross_recon_skips_empty_subsets():
+    """cross_recon + a drawn all-empty subset: the empty term's
+    posterior is the prior, so reconstructing from it is pure-noise
+    supervision and must be masked out (ADVICE r1)."""
+    from mmvae_tpu.core import elbo_subset_masks
+
+    model, batch, state = _setup(n=8)
+    rng = jax.random.key(0)
+
+    masks = elbo_subset_masks(model.n_modalities)
+    empty = jnp.zeros((1, model.n_modalities), masks.dtype)
+
+    import mmvae_tpu.core.subsets as subsets_mod
+    from unittest import mock
+
+    def fake_random_subsets(rng, k, m):
+        return jnp.concatenate([empty] * k, axis=0)
+
+    with mock.patch.object(
+        subsets_mod, "random_subset_masks", fake_random_subsets
+    ), mock.patch(
+        "mmvae_tpu.train.step.random_subset_masks", fake_random_subsets
+    ):
+        _, m_x = multi_term_loss(
+            model, state.params, batch, rng, beta=1.0, sample=False,
+            n_random_subsets=1, cross_recon=True,
+        )
+    # The forced-empty 4th term must carry zero recon (prior posterior,
+    # masked targets) -- not a full cross-recon of every modality.
+    assert float(m_x["recon_per_term"][-1]) == 0.0
+    assert float(m_x["kl_per_term"][-1]) == 0.0
