@@ -28,6 +28,27 @@ CPU_STEPS = 30
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "baseline_cpu.json")
 
+# Per-chip peak FLOP/s of the attached TPU v5 lite (public spec:
+# 197 TFLOP/s bf16; f32 runs the MXU at 1/4 that rate). MFU below is
+# XLA-counted flops of the exact compiled step program (scan body,
+# i.e. one training step: fwd + bwd + Adam) divided by wall time and
+# this peak -- an honest "fraction of the chip" number, not a
+# samples/sec ratio against an arbitrary baseline.
+V5E_PEAK_FLOPS = {"float32": 49.2e12, "bfloat16": 197.0e12}
+
+
+def _program_flops(lowerable, *args) -> float | None:
+    """XLA-counted flops of one execution of the jitted program.
+
+    ``lax.scan`` bodies are counted ONCE by HLO cost analysis (verified:
+    the count is invariant to trip length), so lowering the epoch runner
+    yields per-STEP flops directly. Returns None if the client can't
+    analyze (e.g. an exotic backend)."""
+    try:
+        return float(lowerable.lower(*args).cost_analysis()["flops"])
+    except Exception:
+        return None
+
 
 def measure_torch_cpu() -> float:
     """Samples/sec of the eager-PyTorch fixture on host CPU."""
@@ -85,43 +106,59 @@ def cpu_baseline() -> float:
     return sps
 
 
-def measure_jax() -> float:
-    """Samples/sec/chip of the production train path: the lax.scan-fused
-    epoch runner over device-resident data (what ``api.train`` runs)."""
+def measure_jax(
+    dtype: str = "float32",
+    batch: int = BATCH,
+    steps: int = TPU_STEPS,
+    n_epochs: int = 25,
+) -> dict:
+    """Samples/sec/chip (+ tflops/mfu) of the production train path: the
+    lax.scan-fused epoch runner over device-resident data (what
+    ``api.train`` runs)."""
     import numpy as np
 
     import jax
+    import jax.numpy as jnp
 
     from mmvae_tpu.data import load_dataset, stacked_epoch
     from mmvae_tpu.models import MnistMVAE
     from mmvae_tpu.train import create_train_state, make_epoch_runner
 
-    model = MnistMVAE(n_latents=N_LATENTS)
-    ds = load_dataset("mnist", n=BATCH * TPU_STEPS, seed=0)
+    model = MnistMVAE(
+        n_latents=N_LATENTS,
+        dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+    )
+    ds = load_dataset("mnist", n=batch * steps, seed=0)
     state = create_train_state(
         model,
-        {k: v[:BATCH] for k, v in ds.arrays.items()},
+        {k: v[:batch] for k, v in ds.arrays.items()},
         jax.random.key(0),
         1e-3,
     )
     runner = make_epoch_runner(model, annealing_steps=1000)
     rng = np.random.default_rng(0)
-    batches = stacked_epoch(ds, BATCH, rng)
+    batches = stacked_epoch(ds, batch, rng)
+    flops_per_step = _program_flops(runner, state, batches)
     state, ms = runner(state, batches)  # compile + warmup epoch
     float(np.asarray(ms["loss"]).sum())
     # NOTE: block_until_ready returns early through the axon remote relay;
     # a host fetch of the metrics is the only honest completion barrier.
     # Enough epochs that compute (~40ms/epoch) dominates per-dispatch
     # relay jitter.
-    n_epochs = 25
     t0 = time.perf_counter()
     for _ in range(n_epochs):
-        batches = stacked_epoch(ds, BATCH, rng)
+        batches = stacked_epoch(ds, batch, rng)
         state, ms = runner(state, batches)
     float(np.asarray(ms["loss"]).sum())
     dt = time.perf_counter() - t0
     n_chips = max(1, len(jax.devices()))
-    return BATCH * TPU_STEPS * n_epochs / dt / n_chips
+    sps = batch * steps * n_epochs / dt / n_chips
+    out = {"samples_per_sec": sps, "dtype": dtype, "batch": batch}
+    if flops_per_step:
+        tflops = flops_per_step * steps * n_epochs / dt / n_chips / 1e12
+        out["tflops_per_sec"] = round(tflops, 2)
+        out["mfu"] = round(tflops * 1e12 / V5E_PEAK_FLOPS[dtype], 4)
+    return out
 
 
 def measure_torch_cpu_celeba(steps: int = 3, batch: int = 32) -> float:
@@ -160,16 +197,22 @@ def measure_torch_cpu_celeba(steps: int = 3, batch: int = 32) -> float:
     return batch * steps / (time.perf_counter() - t0)
 
 
-def measure_jax_celeba(batch: int = 64, steps: int = 50) -> float:
+def measure_jax_celeba(
+    batch: int = 64, steps: int = 50, dtype: str = "float32"
+) -> dict:
     import numpy as np
 
     import jax
+    import jax.numpy as jnp
 
     from mmvae_tpu.data import load_dataset, stacked_epoch
     from mmvae_tpu.models import CelebAMVAE
     from mmvae_tpu.train import create_train_state, make_epoch_runner
 
-    model = CelebAMVAE(n_latents=100)
+    model = CelebAMVAE(
+        n_latents=100,
+        dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+    )
     ds = load_dataset("celeba", n=batch * steps, seed=0)
     state = create_train_state(
         model,
@@ -181,7 +224,9 @@ def measure_jax_celeba(batch: int = 64, steps: int = 50) -> float:
         model, n_random_subsets=4, annealing_steps=1000
     )
     rng = np.random.default_rng(0)
-    state, ms = runner(state, stacked_epoch(ds, batch, rng))
+    batches = stacked_epoch(ds, batch, rng)
+    flops_per_step = _program_flops(runner, state, batches)
+    state, ms = runner(state, batches)
     float(np.asarray(ms["loss"]).sum())
     n_epochs = 10
     t0 = time.perf_counter()
@@ -189,29 +234,52 @@ def measure_jax_celeba(batch: int = 64, steps: int = 50) -> float:
         state, ms = runner(state, stacked_epoch(ds, batch, rng))
     float(np.asarray(ms["loss"]).sum())
     dt = time.perf_counter() - t0
-    return batch * steps * n_epochs / dt / max(1, len(jax.devices()))
+    n_chips = max(1, len(jax.devices()))
+    sps = batch * steps * n_epochs / dt / n_chips
+    out = {"samples_per_sec": sps, "dtype": dtype, "batch": batch}
+    if flops_per_step:
+        tflops = flops_per_step * steps * n_epochs / dt / n_chips / 1e12
+        out["tflops_per_sec"] = round(tflops, 2)
+        out["mfu"] = round(tflops * 1e12 / V5E_PEAK_FLOPS[dtype], 4)
+    return out
 
 
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "mnist"
     if which == "celeba":
         baseline = measure_torch_cpu_celeba()
-        sps = measure_jax_celeba()
+        ref = measure_jax_celeba()
         metric = "celeba_mvae_train_samples_per_sec_per_chip"
+        best = None
     else:
         baseline = cpu_baseline()
-        sps = measure_jax()
+        # Reference-comparable point: f32, the reference batch size.
+        ref = measure_jax()
+        # Best-achievable point: bf16 compute, large batch (MXU-friendly).
+        best = measure_jax(dtype="bfloat16", batch=2048, steps=16,
+                           n_epochs=40)
         metric = "mnist_mvae_train_samples_per_sec_per_chip"
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(sps, 1),
-                "unit": "samples/sec/chip",
-                "vs_baseline": round(sps / baseline, 2),
-            }
-        )
-    )
+    line = {
+        "metric": metric,
+        "value": round(ref["samples_per_sec"], 1),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(ref["samples_per_sec"] / baseline, 2),
+    }
+    if "mfu" in ref:
+        line["tflops_per_sec"] = ref["tflops_per_sec"]
+        line["mfu"] = ref["mfu"]
+    if best is not None:
+        line["best"] = {
+            "value": round(best["samples_per_sec"], 1),
+            "dtype": best["dtype"],
+            "batch": best["batch"],
+            **(
+                {"tflops_per_sec": best["tflops_per_sec"],
+                 "mfu": best["mfu"]}
+                if "mfu" in best else {}
+            ),
+        }
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

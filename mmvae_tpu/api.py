@@ -208,6 +208,7 @@ def train(
                 epoch,
                 is_best=is_best,
                 extra={"best_test_elbo": best},
+                keep_epochs=config.keep_epoch_ckpts,
             )
     if writer:
         writer.close()

@@ -34,6 +34,7 @@ def _overrides(args, config):
     for field in (
         "n_latents", "epochs", "batch_size", "annealing_epochs",
         "log_interval", "train_size", "test_size", "n_random_subsets",
+        "keep_epoch_ckpts",
     ):
         v = getattr(args, field, None)
         if v is not None:
@@ -66,6 +67,11 @@ def main(argv=None) -> int:
     )
     pt.add_argument(
         "--p-modality-drop", dest="p_modality_drop", type=float
+    )
+    pt.add_argument(
+        "--keep-epoch-ckpts", dest="keep_epoch_ckpts", type=int,
+        help="retain the newest N per-epoch checkpoints "
+        "(reference save-each-epoch contract; 0 = last/best only)",
     )
     pt.add_argument("--resume", action="store_true")
     pt.add_argument(

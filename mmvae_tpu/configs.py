@@ -44,6 +44,8 @@ class ExperimentConfig:
     train_size: int = 10000
     test_size: int = 2000
     log_interval: int = 100
+    keep_epoch_ckpts: int = 0  # retain newest N per-epoch checkpoints
+    # (reference saves every epoch, SURVEY.md 2.12; 0 = last/best only)
     model_kwargs: dict[str, Any] = dataclasses.field(default_factory=dict)
 
     def replace(self, **kw) -> "ExperimentConfig":

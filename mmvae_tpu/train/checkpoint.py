@@ -9,7 +9,9 @@ PyTree (params + opt state + step + rng) is checkpointed with Orbax; the
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 from typing import Any
 
 import jax
@@ -18,7 +20,12 @@ import orbax.checkpoint as ocp
 
 from mmvae_tpu.train.state import TrainState
 
-__all__ = ["save_checkpoint", "load_checkpoint", "latest_epoch"]
+__all__ = [
+    "save_checkpoint",
+    "load_checkpoint",
+    "latest_epoch",
+    "epoch_checkpoints",
+]
 
 
 def _to_tree(state: TrainState, extra: dict[str, Any]) -> dict[str, Any]:
@@ -41,8 +48,14 @@ def save_checkpoint(
     epoch: int,
     is_best: bool = False,
     extra: dict[str, Any] | None = None,
+    keep_epochs: int = 0,
 ) -> None:
-    """Write ``<workdir>/ckpt/last`` (and ``best`` when ``is_best``)."""
+    """Write ``<workdir>/ckpt/last`` (and ``best`` when ``is_best``).
+
+    ``keep_epochs > 0`` additionally writes ``ckpt/epoch_<k>`` and
+    retains the newest ``keep_epochs`` of them -- the reference's
+    save-each-epoch contract (SURVEY.md 2.12) with bounded disk use.
+    """
     tree = _to_tree(state, {"epoch": epoch, **(extra or {})})
     ckpt_dir = os.path.join(os.path.abspath(workdir), "ckpt")
     # Orbax writes atomically (tmp dir + rename) and saves async; wait so
@@ -51,7 +64,40 @@ def save_checkpoint(
         ckptr.save(os.path.join(ckpt_dir, "last"), tree, force=True)
         if is_best:
             ckptr.save(os.path.join(ckpt_dir, "best"), tree, force=True)
+        if keep_epochs > 0:
+            ckptr.save(
+                os.path.join(ckpt_dir, f"epoch_{epoch:05d}"),
+                tree,
+                force=True,
+            )
         ckptr.wait_until_finished()
+    if keep_epochs > 0:
+        for old in epoch_checkpoints(workdir)[:-keep_epochs]:
+            shutil.rmtree(
+                os.path.join(ckpt_dir, f"epoch_{old:05d}"),
+                ignore_errors=True,
+            )
+    # Tiny metadata sidecar so resume probes don't have to restore the
+    # full params/opt-state tree just to read one int.
+    meta = {"epoch": int(epoch)}
+    meta.update({k: float(v) for k, v in (extra or {}).items()})
+    with open(os.path.join(ckpt_dir, "last_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def epoch_checkpoints(workdir: str) -> list[int]:
+    """Sorted epoch numbers with a retained ``ckpt/epoch_<k>`` snapshot."""
+    ckpt_dir = os.path.join(os.path.abspath(workdir), "ckpt")
+    if not os.path.isdir(ckpt_dir):
+        return []
+    out = []
+    for name in os.listdir(ckpt_dir):
+        if name.startswith("epoch_") and not name.endswith(".json"):
+            try:
+                out.append(int(name.split("_", 1)[1]))
+            except ValueError:
+                pass
+    return sorted(out)
 
 
 def load_checkpoint(
@@ -80,11 +126,19 @@ def load_checkpoint(
 
 
 def latest_epoch(workdir: str) -> int | None:
-    """Epoch recorded in the last checkpoint, or None if none exists."""
+    """Epoch recorded in the last checkpoint, or None if none exists.
+
+    Reads the metadata sidecar when present; falls back to a full Orbax
+    restore only for checkpoints written before the sidecar existed.
+    """
     ckpt_dir = os.path.join(os.path.abspath(workdir), "ckpt")
     path = os.path.join(ckpt_dir, "last")
     if not os.path.exists(path):
         return None
+    meta_path = os.path.join(ckpt_dir, "last_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return int(json.load(f)["epoch"])
     with ocp.PyTreeCheckpointer() as ckptr:
         tree = ckptr.restore(path)
     return int(tree["extra"]["epoch"])
