@@ -43,11 +43,58 @@ def _program_flops(lowerable, *args) -> float | None:
     ``lax.scan`` bodies are counted ONCE by HLO cost analysis (verified:
     the count is invariant to trip length), so lowering the epoch runner
     yields per-STEP flops directly. Returns None if the client can't
-    analyze (e.g. an exotic backend)."""
+    analyze (the axon PJRT plugin returns no cost analysis)."""
     try:
-        return float(lowerable.lower(*args).cost_analysis()["flops"])
+        ca = lowerable.lower(*args).cost_analysis()
+        if ca:
+            return float(ca["flops"])
     except Exception:
-        return None
+        pass
+    return None
+
+
+def _flops_via_cpu(which: str, batch: int, steps: int, dtype: str):
+    """Per-step flops of the same train program, HLO-counted on the CPU
+    backend in a subprocess (the remote-TPU client returns no cost
+    analysis; flop COUNT is backend-independent -- the only delta is the
+    Pallas kernels lowering to their identical-math jnp fallbacks)."""
+    import subprocess
+
+    code = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from mmvae_tpu.data import load_dataset, stacked_epoch
+from mmvae_tpu.train import create_train_state, make_epoch_runner
+dt = jnp.bfloat16 if {dtype!r} == "bfloat16" else jnp.float32
+if {which!r} == "celeba":
+    from mmvae_tpu.models import CelebAMVAE
+    model = CelebAMVAE(n_latents=100, dtype=dt)
+    runner = make_epoch_runner(model, n_random_subsets=4,
+                               annealing_steps=1000)
+else:
+    from mmvae_tpu.models import MnistMVAE
+    model = MnistMVAE(n_latents={N_LATENTS}, dtype=dt)
+    runner = make_epoch_runner(model, annealing_steps=1000)
+ds = load_dataset({which!r}, n={batch} * {steps}, seed=0)
+state = create_train_state(
+    model, {{k: v[:{batch}] for k, v in ds.arrays.items()}},
+    jax.random.key(0), 1e-3)
+batches = stacked_epoch(ds, {batch})
+print("FLOPS=%r" % runner.lower(state, batches).cost_analysis()["flops"])
+"""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=900,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for ln in out.stdout.splitlines():
+            if ln.startswith("FLOPS="):
+                return float(ln.split("=", 1)[1])
+    except Exception:
+        pass
+    return None
 
 
 def measure_torch_cpu() -> float:
@@ -139,6 +186,8 @@ def measure_jax(
     rng = np.random.default_rng(0)
     batches = stacked_epoch(ds, batch, rng)
     flops_per_step = _program_flops(runner, state, batches)
+    if flops_per_step is None:
+        flops_per_step = _flops_via_cpu("mnist", batch, steps, dtype)
     state, ms = runner(state, batches)  # compile + warmup epoch
     float(np.asarray(ms["loss"]).sum())
     # NOTE: block_until_ready returns early through the axon remote relay;
@@ -226,6 +275,8 @@ def measure_jax_celeba(
     rng = np.random.default_rng(0)
     batches = stacked_epoch(ds, batch, rng)
     flops_per_step = _program_flops(runner, state, batches)
+    if flops_per_step is None:
+        flops_per_step = _flops_via_cpu("celeba", batch, steps, dtype)
     state, ms = runner(state, batches)
     float(np.asarray(ms["loss"]).sum())
     n_epochs = 10
@@ -250,7 +301,9 @@ def main() -> None:
         baseline = measure_torch_cpu_celeba()
         ref = measure_jax_celeba()
         metric = "celeba_mvae_train_samples_per_sec_per_chip"
-        best = None
+        # CelebA is compute-bound at f32 (~76% MFU measured); bf16 is
+        # the best-achievable point (4x the MXU peak).
+        best = measure_jax_celeba(dtype="bfloat16", batch=256)
     else:
         baseline = cpu_baseline()
         # Reference-comparable point: f32, the reference batch size.

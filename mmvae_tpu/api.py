@@ -74,6 +74,29 @@ def _resolve_with_workdir(config, workdir: str | None) -> ExperimentConfig:
     return _resolve(config)
 
 
+def _grain_epoch(train_ds, config, model, seed: int, sharding=None):
+    """One epoch through the Grain pipeline ([B:5]), stacked for the
+    scan-fused runner: Grain does the shuffle + modality-dropout on the
+    host, the result ships to device once (one transfer per epoch --
+    same dispatch profile as the device-resident path)."""
+    from mmvae_tpu.data.grain_pipeline import make_grain_loader
+
+    loader = make_grain_loader(
+        train_ds,
+        config.batch_size,
+        modality_names=[s.name for s in model.specs()],
+        p_modality_drop=config.p_modality_drop,
+        seed=seed,
+    )
+    steps = [b for b in loader]
+    stacked = {
+        k: np.stack([b[k] for b in steps]) for k in steps[0]
+    }
+    if sharding is not None:
+        return {k: jax.device_put(v, sharding) for k, v in stacked.items()}
+    return {k: jnp.asarray(v) for k, v in stacked.items()}
+
+
 class TrainResult(NamedTuple):
     config: ExperimentConfig
     model: Any
@@ -153,9 +176,16 @@ def train(
 
     history: list[dict[str, float]] = []
     for epoch in range(start_epoch, config.epochs + 1):
-        batches = stacked_epoch(
-            train_ds, config.batch_size, np_rng, sharding=stacked_sharding
-        )
+        if config.data_backend == "grain":
+            batches = _grain_epoch(
+                train_ds, config, model, seed * 100003 + epoch,
+                sharding=stacked_sharding,
+            )
+        else:
+            batches = stacked_epoch(
+                train_ds, config.batch_size, np_rng,
+                sharding=stacked_sharding,
+            )
         state, ms = runner(state, batches)
         losses = np.asarray(ms["loss"])  # one host fetch per epoch
         if writer:

@@ -43,6 +43,8 @@ def _overrides(args, config):
         config = config.replace(learning_rate=args.lr)
     if getattr(args, "p_modality_drop", None) is not None:
         config = config.replace(p_modality_drop=args.p_modality_drop)
+    if getattr(args, "data_backend", None) is not None:
+        config = config.replace(data_backend=args.data_backend)
     return config
 
 
@@ -67,6 +69,12 @@ def main(argv=None) -> int:
     )
     pt.add_argument(
         "--p-modality-drop", dest="p_modality_drop", type=float
+    )
+    pt.add_argument(
+        "--data-backend", dest="data_backend",
+        choices=["device", "grain"],
+        help="input pipeline: device-resident gathers (default) or the "
+        "Grain host-streaming pipeline",
     )
     pt.add_argument(
         "--keep-epoch-ckpts", dest="keep_epoch_ckpts", type=int,

@@ -46,6 +46,9 @@ class ExperimentConfig:
     log_interval: int = 100
     keep_epoch_ckpts: int = 0  # retain newest N per-epoch checkpoints
     # (reference saves every epoch, SURVEY.md 2.12; 0 = last/best only)
+    data_backend: str = "device"  # "device" (HBM-resident gathers) or
+    # "grain" (the [B:5] Grain pipeline: host-side shuffle/dropout
+    # stream, stacked + shipped to device once per epoch)
     model_kwargs: dict[str, Any] = dataclasses.field(default_factory=dict)
 
     def replace(self, **kw) -> "ExperimentConfig":

@@ -67,10 +67,21 @@ def load_dataset(
         raise ValueError(f"unknown dataset {name!r}; have {list(_GENERATORS)}")
     data_dir = os.environ.get("MMVAE_DATA_DIR", "")
     path = os.path.join(data_dir, name, f"{split}.npz") if data_dir else ""
+    arrays = None
     if path and os.path.exists(path):
         with np.load(path) as f:
             arrays = {k: f[k] for k in f.files}
-    else:
+    elif data_dir and os.path.isdir(os.path.join(data_dir, name)):
+        # Standard distribution formats (IDX / CelebA attr-list+images),
+        # so mounting an unmodified download also works.
+        from mmvae_tpu.data import formats
+
+        d = os.path.join(data_dir, name)
+        if name in ("mnist", "fashionmnist"):
+            arrays = formats.load_mnist_idx(d, split)
+        elif name == "celeba":
+            arrays = formats.load_celeba_raw(d, split)
+    if arrays is None:
         defaults = {"train": 10000, "test": 2000}
         if seed is None:
             seed = {"train": 0, "test": 1_000_003}[split]

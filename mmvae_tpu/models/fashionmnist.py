@@ -7,8 +7,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from mmvae_tpu.core import categorical_nll
-from mmvae_tpu.ops import bernoulli_nll
+from mmvae_tpu.ops import bernoulli_nll, categorical_nll
 from mmvae_tpu.models.base import ModalitySpec, MVAEBase
 from mmvae_tpu.models.experts import (
     ConvEncoder,

@@ -10,8 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from mmvae_tpu.core import categorical_nll
-from mmvae_tpu.ops import bernoulli_nll
+from mmvae_tpu.ops import bernoulli_nll, masked_seq_ce
 from mmvae_tpu.models.base import ModalitySpec, MVAEBase
 from mmvae_tpu.models.experts import ConvEncoder, DeconvDecoder
 from mmvae_tpu.models.text import SeqDecoder, SeqEncoder
@@ -74,11 +73,9 @@ class MultiMnistMVAE(MVAEBase):
 
     def nll_all(self, recons, batch):
         img = bernoulli_nll(recons["image"], batch["image"], event_ndims=2)
-        # Per-token CE summed over non-PAD positions (STOP is predicted).
-        tokens = batch["text"]
-        per_tok = categorical_nll(recons["text"], tokens)
-        mask = (tokens != 0).astype(per_tok.dtype)
-        txt = jnp.sum(per_tok * mask, axis=-1)
+        # Per-token CE summed over non-PAD positions (STOP is predicted);
+        # one fused online-logsumexp kernel on TPU.
+        txt = masked_seq_ce(recons["text"], batch["text"])
         return jnp.stack([img, txt], axis=0)
 
     def dummy_batch(self, n):

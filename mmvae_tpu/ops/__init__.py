@@ -13,37 +13,74 @@ from __future__ import annotations
 
 import jax
 
+from math import prod as np_prod
+
+import jax.numpy as jnp
+
 from mmvae_tpu.ops import kernels as _kernels
 from mmvae_tpu.core.elbo import kl_std_normal as _kl_jnp
 from mmvae_tpu.core.likelihoods import bernoulli_nll as _bern_jnp
+from mmvae_tpu.core.likelihoods import categorical_nll as _cat_jnp
 
 __all__ = [
     "kl_std_normal",
     "bernoulli_nll",
+    "categorical_nll",
+    "masked_seq_ce",
     "set_backend",
     "get_backend",
 ]
 
-_backend = "auto"
+
+def _tile_rows(x, k: int):
+    """k-fold row tiling (term axis folded into rows, t-major) -- the
+    jnp form XLA fuses into consumers instead of materializing."""
+    import jax.numpy as _jnp
+
+    return _jnp.broadcast_to(x[None], (k,) + x.shape).reshape(
+        (k * x.shape[0],) + x.shape[1:]
+    )
+
+# Per-op backend policy. "auto" resolves per op on TPU to whichever
+# implementation WON the in-program A/B on the v5e (tools/ab_kernels.py,
+# measured 2026-08-16 -- table in docs/DESIGN.md section 4; honesty rule
+# from round 1: a Pallas kernel stays on the hot path only if it beats
+# plain XLA at the real shapes) -- and to jnp off-TPU. XLA wins BCE and
+# KL outright (it fuses them into the producing matmul/conv epilogues,
+# so the logits never round-trip HBM -- an opaque pallas_call forces the
+# materialization); the online-logsumexp seq-CE kernel wins (+2.6%
+# in-program on MultiMNIST: XLA materializes the (rows, S, V)
+# log-softmax for the gather, the kernel doesn't).
+_AUTO_TPU = {"kl": False, "bce": False, "seq_ce": True}
+_OPS = tuple(_AUTO_TPU)
+_backend = {op: "auto" for op in _OPS}
 
 
-def set_backend(name: str) -> None:
-    global _backend
-    if name not in ("pallas", "jnp", "auto"):
-        raise ValueError(f"unknown ops backend: {name!r}")
-    _backend = name
+def set_backend(name: str | None = None, **per_op: str) -> None:
+    """Set the kernel backend: ``set_backend("jnp"|"pallas"|"auto")``
+    for all ops, or per op, e.g. ``set_backend(bce="pallas")``."""
+    updates = {op: name for op in _OPS} if name is not None else {}
+    updates.update(per_op)
+    for op, val in updates.items():
+        if op not in _OPS:
+            raise ValueError(f"unknown op {op!r}; have {list(_OPS)}")
+        if val not in ("pallas", "jnp", "auto"):
+            raise ValueError(f"unknown ops backend: {val!r}")
+    _backend.update(updates)
 
 
 def get_backend() -> str:
-    return _backend
+    vals = set(_backend.values())
+    return vals.pop() if len(vals) == 1 else "mixed"
 
 
-def _use_pallas() -> bool:
-    if _backend == "pallas":
+def _use_pallas(op: str) -> bool:
+    val = _backend[op]
+    if val == "pallas":
         return True
-    if _backend == "jnp":
+    if val == "jnp":
         return False
-    return jax.default_backend() == "tpu"
+    return _AUTO_TPU[op] and jax.default_backend() == "tpu"
 
 
 def kl_std_normal(mu, logvar):
@@ -51,7 +88,7 @@ def kl_std_normal(mu, logvar):
 
     Drop-in for ``mmvae_tpu.core.elbo.kl_std_normal``; Pallas-fused on TPU.
     """
-    if _use_pallas():
+    if _use_pallas("kl"):
         return _kernels.kl_std_normal_pallas(mu, logvar)
     return _kl_jnp(mu, logvar)
 
@@ -59,8 +96,50 @@ def kl_std_normal(mu, logvar):
 def bernoulli_nll(logits, x, event_ndims: int = 1):
     """Summed BCE-with-logits; Pallas-fused on TPU.
 
-    Drop-in for ``mmvae_tpu.core.likelihoods.bernoulli_nll``.
+    Drop-in for ``mmvae_tpu.core.likelihoods.bernoulli_nll`` -- plus:
+    ``x`` may carry fewer leading rows than ``logits`` (``n_logits =
+    k * n_x``, the multi-term hot path, t-major). The Pallas kernel then
+    reads the targets ONCE from HBM via its block index map instead of
+    consuming a materialized k-fold broadcast; when the target rows
+    don't admit an aligned tile, the jnp fallback broadcast fuses into
+    XLA's own BCE fusion (still zero materialization).
     """
-    if _use_pallas():
-        return _kernels.bernoulli_nll_pallas(logits, x, event_ndims)
+    tiled = x.shape[0] != logits.shape[0]
+    if _use_pallas("bce"):
+        if not tiled or _kernels.tile_divisor(
+            int(np_prod(x.shape[: x.ndim - event_ndims]))
+        ):
+            return _kernels.bernoulli_nll_pallas(logits, x, event_ndims)
+    if tiled:
+        x = _tile_rows(x, logits.shape[0] // x.shape[0])
     return _bern_jnp(logits, x, event_ndims)
+
+
+def categorical_nll(logits, labels, event_ndims: int = 0):
+    """Cross-entropy of integer labels; handles term-tiled logits.
+
+    Drop-in for ``mmvae_tpu.core.likelihoods.categorical_nll``; when
+    ``logits`` rows are a k-fold term tiling of ``labels`` rows, the
+    labels are broadcast (integer rows are tiny -- XLA fuses the copy).
+    """
+    if labels.shape[0] != logits.shape[0]:
+        labels = _tile_rows(labels, logits.shape[0] // labels.shape[0])
+    return _cat_jnp(logits, labels, event_ndims)
+
+
+def masked_seq_ce(logits, tokens, pad_token: int = 0):
+    """Token cross-entropy summed over non-pad positions.
+
+    ``logits``: ``(..., S, V)``; ``tokens``: ``(..., S)`` int ->
+    ``(...,)`` NLL. The sequence decoders' recon reduction; one fused
+    online-logsumexp Pallas kernel on TPU ([B:5]), log-softmax + gather
+    + masked sum in jnp elsewhere. Term-tiled logits rows are matched by
+    broadcasting the (tiny, integer) token rows.
+    """
+    if tokens.shape[0] != logits.shape[0]:
+        tokens = _tile_rows(tokens, logits.shape[0] // tokens.shape[0])
+    if _use_pallas("seq_ce"):
+        return _kernels.masked_seq_ce_pallas(logits, tokens, pad_token)
+    per_tok = _cat_jnp(logits, tokens)
+    mask = (tokens != pad_token).astype(per_tok.dtype)
+    return jnp.sum(per_tok * mask, axis=-1)

@@ -26,7 +26,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["kl_std_normal_pallas", "bernoulli_nll_pallas"]
+__all__ = [
+    "kl_std_normal_pallas",
+    "bernoulli_nll_pallas",
+    "masked_seq_ce_pallas",
+]
 
 _TILE_N = 256
 _TILE_D = 512
@@ -79,10 +83,37 @@ def _bce_kernel(l_ref, x_ref, out_ref, *, d_total: int, tile_d: int):
     out_ref[:] += jnp.sum(per_elem, axis=1, keepdims=True)
 
 
+def tile_divisor(nb: int, cap: int = _TILE_N) -> int | None:
+    """Largest row-tile size <= cap that divides nb and the f32 sublane
+    count (8), or None (caller falls back to a jnp broadcast)."""
+    for t in range(min(cap, nb), 7, -1):
+        if nb % t == 0 and t % 8 == 0:
+            return t
+    return None
+
+
 def _rowwise_reduce(kernel, a, b, interpret: bool = False):
-    """Run a 2-input row-reduce kernel over (N, D) f32 inputs -> (N,)."""
+    """Run a 2-input row-reduce kernel over (N, D) f32 inputs -> (N,).
+
+    ``b`` may carry fewer rows than ``a`` (N = k * N_b): the hot path
+    evaluates k term-tiled decoder outputs against ONE copy of the
+    targets, and mapping each ``a`` tile onto ``b`` tile ``i % nb_tiles``
+    reads the targets once from HBM instead of materializing the k-fold
+    broadcast (which XLA would otherwise have to do in front of an
+    opaque pallas_call). Requires a row tile that divides N_b -- the
+    caller checks :func:`tile_divisor` first.
+    """
     n, d = a.shape
-    tile_n = min(_TILE_N, max(8, n))
+    nb = b.shape[0]
+    if nb == n:
+        tile_n = min(_TILE_N, max(8, n))
+        b_index = lambda i, j: (i, j)  # noqa: E731
+    else:
+        assert n % nb == 0, (n, nb)
+        tile_n = tile_divisor(nb)
+        assert tile_n is not None, (n, nb)
+        nb_tiles = nb // tile_n
+        b_index = lambda i, j: (i % nb_tiles, j)  # noqa: E731
     tile_d = min(_TILE_D, max(128, d))
     grid = (_cdiv(n, tile_n), _cdiv(d, tile_d))
     out = pl.pallas_call(
@@ -95,9 +126,7 @@ def _rowwise_reduce(kernel, a, b, interpret: bool = False):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (tile_n, tile_d),
-                lambda i, j: (i, j),
-                memory_space=pltpu.VMEM,
+                (tile_n, tile_d), b_index, memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -106,7 +135,7 @@ def _rowwise_reduce(kernel, a, b, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=5 * n * d, bytes_accessed=2 * n * d * 4 + n * 4,
+            flops=5 * n * d, bytes_accessed=(n + nb) * d * 4 + n * 4,
             transcendentals=n * d,
         ),
     )(a, b)
@@ -168,6 +197,132 @@ def _bce_fwd_impl(logits, x, event_ndims: int, interpret: bool = False):
     return out.reshape(batch_shape)
 
 
+# ------------------------------------------------- masked seq CE ----
+
+
+def _seq_ce_kernel(
+    l_ref, lab_ref, out_ref, m_ref, s_ref, g_ref,
+    *, v_total: int, tile_v: int, pad_token: int,
+):
+    """Online-logsumexp token cross-entropy, one row per token.
+
+    Column (vocab) tiles stream through VMEM flash-style: running max
+    ``m``, rescaled exp-sum ``s``, and the gathered label logit ``g``
+    live in scratch; the masked NLL is emitted on the last column tile.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        s_ref[:] = jnp.zeros_like(s_ref)
+        g_ref[:] = jnp.zeros_like(g_ref)
+
+    logits = l_ref[:]  # (tile_n, tile_v)
+    lab = lab_ref[:]  # (tile_n, 1) int32
+    col = (
+        jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + j * tile_v
+    )
+    valid = col < v_total  # vocab-remainder padding must not contribute
+    neg = jnp.where(valid, logits, -jnp.inf)
+
+    m_old = m_ref[:]
+    m_new = jnp.maximum(m_old, jnp.max(neg, axis=1, keepdims=True))
+    s_ref[:] = s_ref[:] * jnp.exp(m_old - m_new) + jnp.sum(
+        jnp.where(valid, jnp.exp(neg - m_new), 0.0),
+        axis=1,
+        keepdims=True,
+    )
+    m_ref[:] = m_new
+    g_ref[:] += jnp.sum(
+        jnp.where(col == lab, logits, 0.0), axis=1, keepdims=True
+    )
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        nll = jnp.log(s_ref[:]) + m_ref[:] - g_ref[:]
+        out_ref[:] = jnp.where(lab != pad_token, nll, 0.0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def masked_seq_ce_pallas(logits, tokens, pad_token: int = 0):
+    """Fused token cross-entropy summed over non-pad positions.
+
+    ``logits``: ``(..., S, V)``; ``tokens``: ``(..., S)`` int. Returns
+    per-example NLL of shape ``(...,)`` -- the ``categorical_nll`` +
+    pad-mask + sum pattern of the sequence decoders (MultiMNIST/CUB)
+    as ONE kernel: one HBM read of the logits, no ``(..., S, V)``
+    log-softmax temp, no separate gather pass ([B:5] log-likelihood
+    reduction mandate).
+    """
+    return _seq_ce_fwd_impl(logits, tokens, pad_token)
+
+
+def _seq_ce_fwd_impl(logits, tokens, pad_token: int, interpret=False):
+    batch_shape = tokens.shape
+    v = logits.shape[-1]
+    rows = logits.astype(jnp.float32).reshape((-1, v))
+    labs = tokens.astype(jnp.int32).reshape((-1, 1))
+    n = rows.shape[0]
+    tile_n = min(_TILE_N, max(8, n))
+    tile_v = min(_TILE_D, max(128, v))
+    grid = (_cdiv(n, tile_n), _cdiv(v, tile_v))
+    out = pl.pallas_call(
+        functools.partial(
+            _seq_ce_kernel, v_total=v, tile_v=tile_v, pad_token=pad_token
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (tile_n, tile_v),
+                lambda i, j: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_n, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_n, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_n, 1), jnp.float32),
+            pltpu.VMEM((tile_n, 1), jnp.float32),
+            pltpu.VMEM((tile_n, 1), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n * v,
+            bytes_accessed=n * v * 4 + n * 8,
+            transcendentals=n * v,
+        ),
+    )(rows, labs)
+    # Token rows -> per-example sum over the sequence axis (the tiny
+    # (..., S) -> (...) reduce fuses into surrounding XLA code).
+    return out.reshape(batch_shape).sum(axis=-1)
+
+
+def _seq_ce_fwd(logits, tokens, pad_token):
+    return masked_seq_ce_pallas(logits, tokens, pad_token), (
+        logits,
+        tokens,
+    )
+
+
+def _seq_ce_bwd(pad_token, res, g):
+    logits, tokens = res
+    # d nll / d logits = softmax - onehot, zeroed on pad positions.
+    p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    onehot = jax.nn.one_hot(tokens, logits.shape[-1], dtype=p.dtype)
+    mask = (tokens != pad_token).astype(p.dtype)[..., None]
+    dlogits = g[..., None, None] * (p - onehot) * mask
+    return (dlogits.astype(logits.dtype), None)
+
+
+masked_seq_ce_pallas.defvjp(_seq_ce_fwd, _seq_ce_bwd)
+
+
 def _bce_fwd(logits, x, event_ndims):
     return bernoulli_nll_pallas(logits, x, event_ndims), (logits, x)
 
@@ -176,7 +331,20 @@ def _bce_bwd(event_ndims, res, g):
     logits, x = res
     for _ in range(event_ndims):
         g = g[..., None]
-    dlogits = g * (jax.nn.sigmoid(logits) - x.astype(logits.dtype))
+    xb = x.astype(logits.dtype)
+    if xb.shape[0] != logits.shape[0]:
+        # Term-tiled forward (targets carried once, k = n_terms): the
+        # backward broadcast is plain jnp, so XLA fuses it into the
+        # surrounding gradient computation -- nothing materializes.
+        k = logits.shape[0] // xb.shape[0]
+        lg = logits.reshape((k, xb.shape[0]) + logits.shape[1:])
+        gg = g.reshape((k, xb.shape[0]) + g.shape[1:])
+        dlogits = (gg * (jax.nn.sigmoid(lg) - xb[None])).reshape(
+            logits.shape
+        )
+        dx = jnp.sum(gg * (-lg), axis=0).astype(x.dtype)
+        return (dlogits, dx)
+    dlogits = g * (jax.nn.sigmoid(logits) - xb)
     dx = g * (-logits)
     return (dlogits, dx.astype(x.dtype))
 

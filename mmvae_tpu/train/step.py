@@ -12,8 +12,10 @@ whole multi-term ELBO is ONE compiled XLA program:
   * decoding folds the term axis into the batch axis, so every decoder
     sees one ``(T*B, ...)`` batch -- large MXU matmuls instead of T small
     ones;
-  * KL and recon reductions use the Pallas kernels in ``mmvae_tpu.ops``
-    (jnp fallbacks elsewhere).
+  * KL and recon reductions route through ``mmvae_tpu.ops``, which
+    dispatches each to whichever implementation (Pallas kernel or XLA)
+    won the in-program A/B on the target backend (tools/ab_kernels.py;
+    docs/DESIGN.md section 4).
 
 Per-example modality-dropout presence masks from the data pipeline
 ([B:5]) multiply into both the fusion mask and the recon weights: an
@@ -114,10 +116,20 @@ def multi_term_loss(
     # Fold terms into batch: one big decoder pass.
     batch_size = mu_e.shape[0]
     z_flat = z.reshape((n_terms * batch_size, -1))
-    data_tiled = _tile_terms(data, n_terms)
-    recons = model.apply(variables, z_flat, data_tiled, method="decode")
+    # Decoders only read the batch for teacher forcing of sequence
+    # modalities -- tile just those (tiny integer arrays). Targets stay
+    # UNTILED: the ops-layer NLLs map term-tiled decoder rows onto one
+    # copy of the targets (Pallas block index map / fused jnp
+    # broadcast), so the k-fold image-target copy never hits HBM.
+    seq_names = [s.name for s in model.specs() if s.kind == "seq"]
+    decode_batch = (
+        _tile_terms({k: data[k] for k in seq_names}, n_terms)
+        if seq_names
+        else None
+    )
+    recons = model.apply(variables, z_flat, decode_batch, method="decode")
     nll_flat = model.apply(
-        variables, recons, data_tiled, method="nll_all"
+        variables, recons, data, method="nll_all"
     )  # (M, T*B)
     nll = nll_flat.reshape((n_mod, n_terms, batch_size)).swapaxes(0, 1)
 

@@ -129,3 +129,92 @@ def test_native_multimnist_rejects_bad_max_digits():
         native_gen.make_multimnist_native(4, max_digits=9)
     with _pytest.raises(ValueError):
         native_gen.make_multimnist_native(4, max_digits=0)
+
+
+def _write_idx(path, arr):
+    import struct
+
+    codes = {np.uint8: 0x08}
+    with open(path, "wb") as f:
+        f.write(struct.pack(">HBB", 0, 0x08, arr.ndim))
+        f.write(struct.pack(f">{arr.ndim}I", *arr.shape))
+        f.write(arr.astype(np.uint8).tobytes())
+
+
+def test_idx_ingestion_matches_synthetic_shapes(tmp_path, monkeypatch):
+    """A standard MNIST IDX download mounted under MMVAE_DATA_DIR loads
+    with shapes identical to the synthetic path (VERDICT r1 #10)."""
+    rng = np.random.default_rng(0)
+    d = tmp_path / "mnist"
+    d.mkdir()
+    imgs = rng.integers(0, 256, size=(10, 28, 28)).astype(np.uint8)
+    labs = rng.integers(0, 10, size=(10,)).astype(np.uint8)
+    _write_idx(d / "train-images-idx3-ubyte", imgs)
+    _write_idx(d / "train-labels-idx1-ubyte", labs)
+    # Gzipped variants must work too (test split).
+    import gzip
+
+    t_imgs = rng.integers(0, 256, size=(4, 28, 28)).astype(np.uint8)
+    t_labs = rng.integers(0, 10, size=(4,)).astype(np.uint8)
+    import io, struct
+
+    def idx_bytes(arr):
+        b = struct.pack(">HBB", 0, 0x08, arr.ndim)
+        b += struct.pack(f">{arr.ndim}I", *arr.shape)
+        return b + arr.tobytes()
+
+    with gzip.open(d / "t10k-images-idx3-ubyte.gz", "wb") as f:
+        f.write(idx_bytes(t_imgs))
+    with gzip.open(d / "t10k-labels-idx1-ubyte.gz", "wb") as f:
+        f.write(idx_bytes(t_labs))
+
+    monkeypatch.setenv("MMVAE_DATA_DIR", str(tmp_path))
+    from mmvae_tpu.data import load_dataset
+
+    ds = load_dataset("mnist", "train")
+    ref = load_dataset("mnist", "train", n=10)  # synthetic (no real dir hit?)
+    assert ds.size == 10
+    assert ds.arrays["image"].shape == (10, 28, 28)
+    assert ds.arrays["label"].shape == (10,)
+    np.testing.assert_allclose(
+        np.asarray(ds.arrays["image"][0]), imgs[0] / 255.0, atol=1e-6
+    )
+    ts = load_dataset("mnist", "test")
+    assert ts.size == 4 and ts.arrays["image"].shape == (4, 28, 28)
+
+
+def test_celeba_raw_ingestion(tmp_path, monkeypatch):
+    """CelebA standard layout (list_attr_celeba.txt + img_align_celeba)
+    loads with synthetic-identical shapes; the 18 reference attrs are
+    picked by name out of the 40-column header."""
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    from mmvae_tpu.data.synthetic import CELEBA_ATTRS
+
+    d = tmp_path / "celeba"
+    (d / "img_align_celeba").mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    all_attrs = [f"attr{i}" for i in range(40 - 18)] + list(CELEBA_ATTRS)
+    rng.shuffle(all_attrs)
+    n = 6
+    lines = [str(n), " ".join(all_attrs)]
+    for i in range(n):
+        fname = f"{i:06d}.jpg"
+        img = (rng.random((78, 64, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(d / "img_align_celeba" / fname)
+        vals = rng.choice(["-1", "1"], size=40)
+        lines.append(fname + " " + " ".join(vals))
+    (d / "list_attr_celeba.txt").write_text("\n".join(lines) + "\n")
+
+    monkeypatch.setenv("MMVAE_DATA_DIR", str(tmp_path))
+    from mmvae_tpu.data import load_dataset
+
+    ds = load_dataset("celeba", "train", n=None)
+    # holdout=2000 > n: train falls back to the full set.
+    assert ds.arrays["image"].shape == (n, 64, 64, 3)
+    assert ds.arrays["attrs"].shape == (n, 18)
+    a = np.asarray(ds.arrays["attrs"])
+    assert set(np.unique(a)).issubset({0.0, 1.0})
+    img0 = np.asarray(ds.arrays["image"][0])
+    assert img0.min() >= 0.0 and img0.max() <= 1.0

@@ -68,3 +68,41 @@ def test_feeds_train_step(ds):
         state, m = step(state, batch)
     assert np.isfinite(float(m["loss"]))
     assert int(state.step) == 2
+
+
+def test_train_via_grain_matches_device_path(tmp_path):
+    """api.train(data_backend='grain') is end-to-end equivalent to the
+    device-resident path: same data, same model -- the trajectories
+    differ only by shuffle order, so final losses agree within noise
+    (VERDICT r1 #7)."""
+    from mmvae_tpu import api
+    from mmvae_tpu.configs import get_config
+
+    cfg = get_config("mnist").replace(
+        n_latents=8, epochs=3, batch_size=32, train_size=256, test_size=64,
+    )
+    dev = api.train(cfg, None, use_mesh=False, verbose=False)
+    grain_cfg = cfg.replace(data_backend="grain")
+    grn = api.train(grain_cfg, None, use_mesh=False, verbose=False)
+
+    d_losses = [h["train_loss"] for h in dev.history]
+    g_losses = [h["train_loss"] for h in grn.history]
+    assert g_losses[-1] < g_losses[0]  # it actually trains
+    # Same data, same steps: final epoch loss within a few percent.
+    assert abs(g_losses[-1] - d_losses[-1]) / abs(d_losses[-1]) < 0.05
+    assert abs(grn.best_test_elbo - dev.best_test_elbo) / abs(
+        dev.best_test_elbo
+    ) < 0.05
+
+
+def test_train_via_grain_with_modality_dropout():
+    """Grain-side presence masks flow through the fused step."""
+    from mmvae_tpu import api
+    from mmvae_tpu.configs import get_config
+
+    cfg = get_config("mnist").replace(
+        n_latents=8, epochs=1, batch_size=32, train_size=128,
+        test_size=32, p_modality_drop=0.3, data_backend="grain",
+    )
+    res = api.train(cfg, None, use_mesh=False, verbose=False)
+    assert np.isfinite(res.history[-1]["train_loss"])

@@ -49,7 +49,6 @@ def test_kl_custom_vjp_matches_jnp_grad():
     lv = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
     # The custom bwd is analytic jnp; compare against autodiff of the
     # jnp forward directly (no kernel execution needed).
-    g_got = jax.grad(lambda m, l: kernels._kl_bwd((m, l), jnp.ones(4))[0].sum())
     want_mu = jax.grad(lambda m: kl_jnp(m, lv).sum())(mu)
     got_mu, got_lv = kernels._kl_bwd((mu, lv), jnp.ones((4,)))
     want_lv = jax.grad(lambda l: kl_jnp(mu, l).sum())(lv)
@@ -68,6 +67,48 @@ def test_bce_custom_vjp_matches_jnp_grad():
     np.testing.assert_allclose(got_dx, want_dx, rtol=2e-4, atol=1e-5)
 
 
+def _seq_ce_jnp(logits, tokens, pad_token=0):
+    from mmvae_tpu.core.likelihoods import categorical_nll
+
+    per_tok = categorical_nll(logits, tokens)
+    mask = (tokens != pad_token).astype(per_tok.dtype)
+    return jnp.sum(per_tok * mask, axis=-1)
+
+
+@pytest.mark.parametrize(
+    "shape_v",
+    [
+        ((4, 5), 13),  # MultiMNIST: (B, S), digit vocab
+        ((6, 17), 211),  # odd sizes exercise row+vocab remainders
+        ((3, 2, 8), 700),  # batch dims fold; vocab spans >1 column tile
+    ],
+)
+def test_seq_ce_interpret_matches_jnp(shape_v):
+    shape, v = shape_v
+    rng = np.random.default_rng(4)
+    logits = rng.normal(size=shape + (v,)).astype(np.float32) * 2
+    tokens = rng.integers(0, v, size=shape).astype(np.int32)
+    tokens[..., -1] = 0  # guarantee some PAD positions
+    got = kernels._seq_ce_fwd_impl(
+        jnp.asarray(logits), jnp.asarray(tokens), 0, interpret=True
+    )
+    want = _seq_ce_jnp(jnp.asarray(logits), jnp.asarray(tokens))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-3)
+
+
+def test_seq_ce_custom_vjp_matches_jnp_grad():
+    rng = np.random.default_rng(5)
+    logits = jnp.asarray(rng.normal(size=(4, 5, 13)).astype(np.float32))
+    tokens = jnp.asarray(
+        rng.integers(0, 13, size=(4, 5)).astype(np.int32)
+    )
+    got_dl, _ = kernels._seq_ce_bwd(
+        0, (logits, tokens), jnp.ones((4,))
+    )
+    want_dl = jax.grad(lambda l: _seq_ce_jnp(l, tokens).sum())(logits)
+    np.testing.assert_allclose(got_dl, want_dl, rtol=2e-4, atol=1e-5)
+
+
 def test_backend_dispatch():
     from mmvae_tpu import ops
 
@@ -80,3 +121,57 @@ def test_backend_dispatch():
             ops.set_backend("cuda")
     finally:
         ops.set_backend("auto")
+
+
+@pytest.mark.parametrize("k,b,d", [(3, 64, 784), (24, 64, 512), (4, 8, 130)])
+def test_bce_tiled_targets_interpret(k, b, d):
+    """Term-tiled logits (k*B rows) vs ONE copy of the targets (B rows)
+    must equal BCE against the explicit k-fold broadcast."""
+    rng = np.random.default_rng(6)
+    logits = jnp.asarray(rng.normal(size=(k * b, d)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(size=(b, d)).astype(np.float32))
+    got = kernels._bce_fwd_impl(logits, x, 1, interpret=True)
+    x_full = jnp.broadcast_to(x[None], (k, b, d)).reshape(k * b, d)
+    want = bce_jnp(logits, x_full, 1)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-3)
+
+
+def test_bce_tiled_bwd_matches_jnp_grad():
+    rng = np.random.default_rng(7)
+    k, b, d = 3, 8, 32
+    logits = jnp.asarray(rng.normal(size=(k * b, d)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(size=(b, d)).astype(np.float32))
+    got_dl, got_dx = kernels._bce_bwd(1, (logits, x), jnp.ones((k * b,)))
+    x_full = jnp.broadcast_to(x[None], (k, b, d)).reshape(k * b, d)
+    want_dl = jax.grad(lambda l: bce_jnp(l, x_full, 1).sum())(logits)
+    np.testing.assert_allclose(got_dl, want_dl, rtol=2e-4, atol=1e-5)
+    assert got_dx.shape == x.shape
+
+
+def test_ops_nll_row_tiling_dispatch():
+    """ops-level NLLs accept term-tiled logits with untiled targets and
+    match the explicit-broadcast jnp reference (jnp fallback path)."""
+    from mmvae_tpu import ops
+    from mmvae_tpu.core.likelihoods import categorical_nll as cat_jnp
+
+    rng = np.random.default_rng(8)
+    k, b = 3, 10
+    logits = jnp.asarray(rng.normal(size=(k * b, 28, 28)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(size=(b, 28, 28)).astype(np.float32))
+    x_full = jnp.broadcast_to(x[None], (k, b, 28, 28)).reshape(k * b, 28, 28)
+    np.testing.assert_allclose(
+        ops.bernoulli_nll(logits, x, 2), bce_jnp(logits, x_full, 2),
+        rtol=1e-5,
+    )
+    cl = jnp.asarray(rng.normal(size=(k * b, 10)).astype(np.float32))
+    lab = jnp.asarray(rng.integers(0, 10, size=(b,)).astype(np.int32))
+    lab_full = jnp.broadcast_to(lab[None], (k, b)).reshape(k * b)
+    np.testing.assert_allclose(
+        ops.categorical_nll(cl, lab), cat_jnp(cl, lab_full), rtol=1e-5
+    )
+    sl = jnp.asarray(rng.normal(size=(k * b, 5, 13)).astype(np.float32))
+    tok = jnp.asarray(rng.integers(0, 13, size=(b, 5)).astype(np.int32))
+    tok_full = jnp.broadcast_to(tok[None], (k, b, 5)).reshape(k * b, 5)
+    np.testing.assert_allclose(
+        ops.masked_seq_ce(sl, tok), _seq_ce_jnp(sl, tok_full), rtol=1e-5
+    )

@@ -22,7 +22,19 @@ sys.path.insert(
 
 from mmvae_tpu.core.elbo import kl_std_normal as kl_jnp
 from mmvae_tpu.core.likelihoods import bernoulli_nll as bce_jnp
-from mmvae_tpu.ops.kernels import bernoulli_nll_pallas, kl_std_normal_pallas
+from mmvae_tpu.ops.kernels import (
+    bernoulli_nll_pallas,
+    kl_std_normal_pallas,
+    masked_seq_ce_pallas,
+)
+
+
+def _seq_ce_jnp(logits, tokens, pad_token=0):
+    from mmvae_tpu.core.likelihoods import categorical_nll
+
+    per_tok = categorical_nll(logits, tokens)
+    mask = (tokens != pad_token).astype(per_tok.dtype)
+    return jnp.sum(per_tok * mask, axis=-1)
 
 
 def _timeit(fn, *args, iters=50):
@@ -66,6 +78,29 @@ def main() -> int:
         tx, _ = _timeit(jx, a, b)
         print(
             f"  {name} {shape}: {'OK' if ok else 'MISMATCH'}  "
+            f"pallas {tp*1e6:8.1f}us  xla {tx*1e6:8.1f}us  "
+            f"speedup {tx/tp:5.2f}x",
+            flush=True,
+        )
+
+    # Masked sequence CE (MultiMNIST (B*T, 5, 13) / CUB-scale vocab).
+    for shape, v in [((1536, 5), 13), ((512, 32), 700)]:
+        logits = jnp.asarray(
+            rng.normal(size=shape + (v,)).astype(np.float32)
+        )
+        tokens = jnp.asarray(
+            rng.integers(0, v, size=shape).astype(np.int32)
+        )
+        jp = jax.jit(masked_seq_ce_pallas, static_argnums=2)
+        jx = jax.jit(_seq_ce_jnp, static_argnums=2)
+        got = np.asarray(jp(logits, tokens, 0))
+        want = np.asarray(jx(logits, tokens, 0))
+        ok = np.allclose(got, want, rtol=2e-4, atol=1e-2)
+        failures += 0 if ok else 1
+        tp, _ = _timeit(jp, logits, tokens, 0)
+        tx, _ = _timeit(jx, logits, tokens, 0)
+        print(
+            f"  SeqCE {shape}x{v}: {'OK' if ok else 'MISMATCH'}  "
             f"pallas {tp*1e6:8.1f}us  xla {tx*1e6:8.1f}us  "
             f"speedup {tx/tp:5.2f}x",
             flush=True,
