@@ -34,6 +34,7 @@ class CelebAMVAE(MVAEBase):
     image_hw: tuple[int, int] = (64, 64)
     lambda_image: float = 1.0
     lambda_attr: float = 10.0
+    conv_features: tuple[int, ...] = (32, 64, 128, 256)
     dtype: jnp.dtype = jnp.float32
 
     def specs(self):
@@ -45,10 +46,13 @@ class CelebAMVAE(MVAEBase):
     def setup(self):
         kw = dict(dtype=self.dtype)
         self.image_enc = ConvEncoder(
-            self.n_latents, features=(32, 64, 128, 256), **kw
+            self.n_latents, features=self.conv_features, **kw
         )
         self.image_dec = DeconvDecoder(
-            self.image_hw, channels=3, features=(256, 128, 64, 32), **kw
+            self.image_hw,
+            channels=3,
+            features=tuple(reversed(self.conv_features)),
+            **kw,
         )
         self.attr_enc = AttributeEncoderBank(
             self.n_latents, n_attrs=self.n_attrs, **kw

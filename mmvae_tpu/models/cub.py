@@ -22,6 +22,7 @@ class CubMVAE(MVAEBase):
     image_hw: tuple[int, int] = (64, 64)
     lambda_image: float = 1.0
     lambda_text: float = 5.0
+    conv_features: tuple[int, ...] = (32, 64, 128, 256)
     dtype: jnp.dtype = jnp.float32
 
     def specs(self):
@@ -33,10 +34,13 @@ class CubMVAE(MVAEBase):
     def setup(self):
         kw = dict(dtype=self.dtype)
         self.image_enc = ConvEncoder(
-            self.n_latents, features=(32, 64, 128, 256), **kw
+            self.n_latents, features=self.conv_features, **kw
         )
         self.image_dec = DeconvDecoder(
-            self.image_hw, channels=3, features=(256, 128, 64, 32), **kw
+            self.image_hw,
+            channels=3,
+            features=tuple(reversed(self.conv_features)),
+            **kw,
         )
         self.text_enc = SeqEncoder(
             self.n_latents, self.vocab_size, embed_dim=128, hidden=256, **kw

@@ -23,3 +23,14 @@ import jax  # noqa: E402
 # Re-force CPU here, before any backend is initialized.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache for the (CPU-only) test programs: the suite is
+# dominated by XLA compiles that are identical run over run, so repeat
+# runs get them for free. NOTE: this cache is safe precisely because the
+# tests never touch the axon backend -- with the remote-TPU relay the
+# persistent cache deadlocks result fetches (docs/DESIGN.md section 7);
+# do NOT copy this setting into TPU-facing code.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".xla_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+

@@ -6,6 +6,10 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # whole-module: train-based API tests
+# (~90s of CPU compiles); tests/test_api_fast.py keeps a smoke test in
+# the default path.
+
 from mmvae_tpu import api
 from mmvae_tpu.configs import get_config
 from mmvae_tpu.train import create_train_state
@@ -136,6 +140,10 @@ def test_celeba_generate_from_attrs(tmp_path):
         train_size=32,
         test_size=16,
         n_random_subsets=2,
+        # Narrow conv stack: the full (32,64,128,256) CelebA model costs
+        # ~4.5 min of XLA compile on this 1-core CPU host; the API
+        # surface under test is architecture-independent.
+        model_kwargs={"conv_features": (8, 16)},
     )
     workdir = str(tmp_path)
     api.train(cfg, workdir, use_mesh=False, verbose=False)

@@ -1,0 +1,28 @@
+"""Fast-path API smoke: one tiny end-to-end train/eval/sample/generate.
+
+The full API surface is covered by tests/test_api.py (marked slow --
+~90s of CPU compiles); this keeps a single end-to-end flow in the
+default ``-m "not slow"`` loop so an API regression can't hide behind
+the marker split.
+"""
+
+import numpy as np
+
+from mmvae_tpu import api
+from mmvae_tpu.configs import get_config
+
+
+def test_api_end_to_end_smoke(tmp_path):
+    cfg = get_config("mnist").replace(
+        n_latents=8, epochs=1, batch_size=32, train_size=64, test_size=32,
+        annealing_epochs=1,
+    )
+    workdir = str(tmp_path)
+    result = api.train(cfg, workdir, use_mesh=False, verbose=False)
+    assert np.isfinite(result.best_test_elbo)
+    elbo = api.eval_elbo(cfg, workdir=workdir)
+    assert np.isfinite(elbo)
+    out = api.sample(cfg, n=2, workdir=workdir)
+    assert out["image"].shape == (2, 28, 28)
+    gen = api.generate(cfg, {"label": np.asarray([3])}, workdir=workdir)
+    assert gen["image"].shape == (1, 28, 28)

@@ -70,6 +70,7 @@ def test_generate_npy_file_condition(workdir, tmp_path, capsys):
     assert out["shapes"]["label"] == [2]
 
 
+@pytest.mark.slow
 def test_multimnist_text_decoding(tmp_path, capsys):
     wd = str(tmp_path / "mm")
     rc = main([

@@ -70,6 +70,7 @@ def test_feeds_train_step(ds):
     assert int(state.step) == 2
 
 
+@pytest.mark.slow
 def test_train_via_grain_matches_device_path(tmp_path):
     """api.train(data_backend='grain') is end-to-end equivalent to the
     device-resident path: same data, same model -- the trajectories

@@ -99,6 +99,7 @@ def test_attribute_bank_is_per_attribute():
     assert not changed[:, [i for i in range(19) if i != 8]].any()
 
 
+@pytest.mark.slow
 def test_bfloat16_compute_path():
     """bf16 expert compute (MXU throughput mode); loss math stays f32."""
     import jax

@@ -66,6 +66,7 @@ def test_env_switch_selects_native(monkeypatch):
     assert not np.array_equal(ds2.arrays["image"], want["image"])
 
 
+@pytest.mark.slow
 def test_native_feeds_train_step():
     import jax
 

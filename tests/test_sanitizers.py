@@ -22,6 +22,7 @@ def test_step_clean_under_debug_nans():
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_celeba_19_expert_fusion_clean_under_debug_nans():
     """The deep 19-expert PoE stack (the numerically hairiest path:
     precision sums over 20 experts) stays finite."""
