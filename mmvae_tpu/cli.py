@@ -45,6 +45,8 @@ def _overrides(args, config):
         config = config.replace(p_modality_drop=args.p_modality_drop)
     if getattr(args, "data_backend", None) is not None:
         config = config.replace(data_backend=args.data_backend)
+    if getattr(args, "cross_recon", None) is not None:
+        config = config.replace(cross_recon=args.cross_recon)
     return config
 
 
@@ -69,6 +71,12 @@ def main(argv=None) -> int:
     )
     pt.add_argument(
         "--p-modality-drop", dest="p_modality_drop", type=float
+    )
+    pt.add_argument(
+        "--cross-recon", dest="cross_recon", action="store_true",
+        default=None,
+        help="add cross-reconstruction terms (every modality decoded "
+        "from every subset posterior; docs/DESIGN.md section 9)",
     )
     pt.add_argument(
         "--data-backend", dest="data_backend",

@@ -87,3 +87,18 @@ def test_multimnist_text_decoding(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "text_decoded" in out
     assert len(out["text_decoded"]) == 4
+
+
+def test_cross_recon_flag_overrides_config():
+    import argparse
+
+    from mmvae_tpu.cli import _overrides
+    from mmvae_tpu.configs import get_config
+
+    args = argparse.Namespace(cross_recon=True)
+    cfg = _overrides(args, get_config("mnist"))
+    assert cfg.cross_recon is True
+    # Absent flag (None) leaves the config default untouched.
+    args2 = argparse.Namespace(cross_recon=None)
+    cfg2 = _overrides(args2, get_config("multimnist"))
+    assert cfg2.cross_recon is True  # multimnist default stays on
