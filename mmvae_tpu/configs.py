@@ -104,5 +104,23 @@ def build_model(config: ExperimentConfig, dtype=jnp.float32):
     cls = _MODEL_CLASSES[config.name]
     kwargs = dict(config.model_kwargs)
     if config.name == "cub" and "vocab_size" not in kwargs:
-        kwargs["vocab_size"] = len(cub_vocab())
+        kwargs["vocab_size"] = _cub_vocab_size()
     return cls(n_latents=config.n_latents, dtype=dtype, **kwargs)
+
+
+def _cub_vocab_size() -> int:
+    """CUB text-expert vocab size: the real corpus vocabulary when a
+    real CUB dataset is mounted (its persisted ``vocab.json``), else the
+    synthetic vocabulary."""
+    import os
+
+    data_dir = os.environ.get("MMVAE_DATA_DIR", "")
+    if data_dir:
+        cub_dir = os.path.join(data_dir, "cub")
+        if os.path.isdir(cub_dir):
+            from mmvae_tpu.data.formats import cub_data_vocab
+
+            v = cub_data_vocab(cub_dir)
+            if v is not None:
+                return len(v)
+    return len(cub_vocab())

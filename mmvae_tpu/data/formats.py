@@ -13,6 +13,10 @@ download also works:
     the reference uses are selected by name) + ``img_align_celeba/``
     JPEG/PNG images, center-cropped and resized to 64x64 like the
     reference preprocessing.
+  * CUB: ``images/<class>/*.jpg`` + ``text_c10/<class>/*.txt`` caption
+    files (the CUB-200-2011 + cvpr2016-captions layout); a word
+    vocabulary is built once from the corpus and persisted as
+    ``vocab.json`` in the data dir (model sizing reads it too).
 
 All readers return modality dicts shaped exactly like
 ``mmvae_tpu.data.synthetic`` so the rest of the stack is agnostic.
@@ -26,7 +30,13 @@ import struct
 
 import numpy as np
 
-__all__ = ["read_idx", "load_mnist_idx", "load_celeba_raw"]
+__all__ = [
+    "read_idx",
+    "load_mnist_idx",
+    "load_celeba_raw",
+    "load_cub_raw",
+    "cub_data_vocab",
+]
 
 
 def read_idx(path: str) -> np.ndarray:
@@ -136,3 +146,114 @@ def load_celeba_raw(
             ).resize((hw, hw), Image.BILINEAR)
             images[i] = np.asarray(im, np.float32) / 255.0
     return {"image": images, "attrs": np.stack(attrs)}
+
+
+def _cub_pairs(dirpath: str) -> list[tuple[str, str]] | None:
+    """Sorted (image_path, caption_path) pairs of the CUB-200-2011 +
+    cvpr2016-captions layout: ``images/<class>/<name>.jpg`` paired with
+    ``text_c10/<class>/<name>.txt`` (or ``text/``)."""
+    img_root = os.path.join(dirpath, "images")
+    txt_root = None
+    for cand in ("text_c10", "text", "captions"):
+        d = os.path.join(dirpath, cand)
+        if os.path.isdir(d):
+            txt_root = d
+            break
+    if not os.path.isdir(img_root) or txt_root is None:
+        return None
+    pairs = []
+    for root, _, files in os.walk(img_root):
+        for fname in files:
+            if not fname.lower().endswith((".jpg", ".jpeg", ".png")):
+                continue
+            rel = os.path.relpath(os.path.join(root, fname), img_root)
+            txt = os.path.join(
+                txt_root, os.path.splitext(rel)[0] + ".txt"
+            )
+            if os.path.exists(txt):
+                pairs.append((os.path.join(root, fname), txt))
+    return sorted(pairs) or None
+
+
+def cub_data_vocab(dirpath: str, max_words: int = 2000):
+    """Build (or load the persisted) word vocabulary for a real CUB
+    caption corpus: most-frequent ``max_words`` words + <unk>, saved to
+    ``vocab.json`` in the data dir so train/test/model sizing agree."""
+    import json
+
+    from mmvae_tpu.data.vocab import Vocab
+
+    vpath = os.path.join(dirpath, "vocab.json")
+    if os.path.exists(vpath):
+        with open(vpath) as f:
+            itos = json.load(f)["itos"]
+        v = Vocab([], unk=True)
+        v.itos = itos
+        v.stoi = {w: i for i, w in enumerate(itos)}
+        return v
+    pairs = _cub_pairs(dirpath)
+    if pairs is None:
+        return None
+    from collections import Counter
+
+    counts = Counter()
+    for _, txt in pairs:
+        with open(txt) as f:
+            for line in f:
+                counts.update(_normalize_caption(line).split())
+    words = [w for w, _ in counts.most_common(max_words)]
+    v = Vocab(words, unk=True)
+    with open(vpath, "w") as f:
+        json.dump({"itos": v.itos}, f)
+    return v
+
+
+def _normalize_caption(line: str) -> str:
+    keep = []
+    for ch in line.strip().lower():
+        if ch.isalnum() or ch == " ":
+            keep.append(ch)
+        elif ch in "-/":
+            keep.append(" ")
+    return " ".join("".join(keep).split())
+
+
+def load_cub_raw(
+    dirpath: str, split: str, hw: int = 64, max_len: int = 32,
+    holdout: int = 1000,
+) -> dict[str, np.ndarray] | None:
+    """CUB images + caption files -> {image: (N,hw,hw,3) f32,
+    text: (N,max_len) i32}, or None if the layout is absent.
+
+    Uses the first caption per image (the reference trains one caption
+    per image pass); the shared data-dir vocabulary comes from
+    :func:`cub_data_vocab`. Last ``holdout`` pairs are the test split.
+    """
+    pairs = _cub_pairs(dirpath)
+    if pairs is None:
+        return None
+    vocab = cub_data_vocab(dirpath)
+
+    from PIL import Image
+
+    if split == "train":
+        pairs = pairs[:-holdout] or pairs
+    else:
+        pairs = pairs[-holdout:]
+    images = np.empty((len(pairs), hw, hw, 3), np.float32)
+    tokens = np.empty((len(pairs), max_len), np.int32)
+    for i, (img_path, txt_path) in enumerate(pairs):
+        with Image.open(img_path) as im:
+            im = im.convert("RGB")
+            w, h = im.size
+            s = min(w, h)
+            im = im.crop(
+                ((w - s) // 2, (h - s) // 2, (w + s) // 2, (h + s) // 2)
+            ).resize((hw, hw), Image.BILINEAR)
+            images[i] = np.asarray(im, np.float32) / 255.0
+        with open(txt_path) as f:
+            first = next(
+                (ln for ln in f if ln.strip()), ""
+            )
+        tokens[i] = vocab.encode(_normalize_caption(first), max_len)
+    return {"image": images, "text": tokens}

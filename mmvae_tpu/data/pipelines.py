@@ -81,6 +81,8 @@ def load_dataset(
             arrays = formats.load_mnist_idx(d, split)
         elif name == "celeba":
             arrays = formats.load_celeba_raw(d, split)
+        elif name == "cub":
+            arrays = formats.load_cub_raw(d, split)
     if arrays is None:
         defaults = {"train": 10000, "test": 2000}
         if seed is None:

@@ -218,3 +218,61 @@ def test_celeba_raw_ingestion(tmp_path, monkeypatch):
     assert set(np.unique(a)).issubset({0.0, 1.0})
     img0 = np.asarray(ds.arrays["image"][0])
     assert img0.min() >= 0.0 and img0.max() <= 1.0
+
+
+def test_cub_raw_ingestion(tmp_path, monkeypatch):
+    """CUB-200-2011 + caption-files layout loads end to end: images
+    resized, captions tokenized against a persisted corpus vocabulary,
+    and build_model sizes the text expert from the same vocab."""
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    d = tmp_path / "cub"
+    rng = np.random.default_rng(2)
+    caps = [
+        "a small bird with blue wings",
+        "this bird has a red crown and white belly",
+        "a large gray bird with a long beak",
+    ]
+    for cls in ["001.Black_footed_Albatross", "002.Laysan_Albatross"]:
+        (d / "images" / cls).mkdir(parents=True)
+        (d / "text_c10" / cls).mkdir(parents=True)
+        for j in range(3):
+            name = f"img_{j:02d}"
+            img = (rng.random((70, 60, 3)) * 255).astype(np.uint8)
+            Image.fromarray(img).save(d / "images" / cls / f"{name}.jpg")
+            (d / "text_c10" / cls / f"{name}.txt").write_text(
+                caps[j % 3] + "\n" + caps[(j + 1) % 3] + "\n"
+            )
+
+    monkeypatch.setenv("MMVAE_DATA_DIR", str(tmp_path))
+    from mmvae_tpu.data import load_dataset
+    from mmvae_tpu.data.formats import cub_data_vocab
+
+    ds = load_dataset("cub", "train")  # holdout > n -> full set
+    assert ds.arrays["image"].shape == (6, 64, 64, 3)
+    assert ds.arrays["text"].shape[0] == 6
+    assert (d / "vocab.json").exists()
+    vocab = cub_data_vocab(str(d))
+    toks = np.asarray(ds.arrays["text"][0])
+    decoded = vocab.decode(toks)
+    assert decoded in caps  # round-trips through the corpus vocab
+
+    from mmvae_tpu.configs import build_model, get_config
+
+    model = build_model(get_config("cub"))
+    assert model.vocab_size == len(vocab)
+    # Tokens stay inside the model's embedding table.
+    assert int(np.asarray(ds.arrays["text"]).max()) < model.vocab_size
+
+
+def test_vocab_unk_handling():
+    from mmvae_tpu.data.vocab import Vocab
+
+    v = Vocab(["red", "bird"], unk=True)
+    ids = v.encode("red unknown bird", max_len=6)
+    assert ids[1] == v.stoi["<unk>"]
+    assert v.decode(ids) == "red <unk> bird"
+    v2 = Vocab(["red", "bird"])  # closed vocab: unknowns raise
+    with pytest.raises(KeyError):
+        v2.encode("red unknown", max_len=4)
