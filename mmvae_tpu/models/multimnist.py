@@ -27,6 +27,8 @@ class MultiMnistMVAE(MVAEBase):
     lambda_image: float = 1.0
     lambda_text: float = 10.0
     conv_features: tuple[int, ...] = (32, 64)
+    text_embed: int = 64
+    text_hidden: int = 128
     dtype: jnp.dtype = jnp.float32
 
     def specs(self):
@@ -47,10 +49,18 @@ class MultiMnistMVAE(MVAEBase):
             **kw,
         )
         self.text_enc = SeqEncoder(
-            self.n_latents, DIGIT_VOCAB, embed_dim=64, hidden=128, **kw
+            self.n_latents,
+            DIGIT_VOCAB,
+            embed_dim=self.text_embed,
+            hidden=self.text_hidden,
+            **kw,
         )
         self.text_dec = SeqDecoder(
-            DIGIT_VOCAB, self.max_len, embed_dim=64, hidden=128, **kw
+            DIGIT_VOCAB,
+            self.max_len,
+            embed_dim=self.text_embed,
+            hidden=self.text_hidden,
+            **kw,
         )
 
     def encode(self, batch):

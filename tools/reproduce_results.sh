@@ -1,25 +1,31 @@
 #!/bin/bash
 # Reproduce the BASELINE.md quality table end-to-end on the attached TPU.
 # Each run trains from scratch on seeded synthetic data, then reports
-# cross-modal metrics + grids into its workdir. Total ~2h wall
+# cross-modal metrics + grids into its workdir. Total ~2.5h wall
 # (dominated by per-process remote compiles; see docs/DESIGN.md section 7).
+#
+# Round-2 recipe: the label/attr configs use --cross-recon for the
+# quality rows (the reference-semantics variants remain the defaults and
+# feed the parity metric; docs/DESIGN.md section 9), and MultiMNIST
+# trains its full 80-epoch schedule for exact-match.
 set -ex
 cd "$(dirname "$0")/.."
 RUNS=${RUNS:-/tmp/mmvae_runs}
 
 python -m mmvae_tpu.cli train --config mnist --workdir $RUNS/mnist \
-    --epochs 100 --train-size 20000
+    --epochs 100 --train-size 20000 --cross-recon
 python tools/quality_check.py mnist $RUNS/mnist
 
 python -m mmvae_tpu.cli train --config fashionmnist \
-    --workdir $RUNS/fashionmnist --epochs 60
+    --workdir $RUNS/fashionmnist --epochs 60 --cross-recon
 python tools/quality_check.py fashionmnist $RUNS/fashionmnist
 
-python -m mmvae_tpu.cli train --config multimnist --workdir $RUNS/multimnist
+python -m mmvae_tpu.cli train --config multimnist --workdir $RUNS/multimnist \
+    --epochs 80
 python tools/quality_check.py multimnist $RUNS/multimnist
 
 python -m mmvae_tpu.cli train --config celeba --workdir $RUNS/celeba \
-    --epochs 30
+    --epochs 40 --cross-recon
 python tools/quality_check.py celeba $RUNS/celeba
 
 python -m mmvae_tpu.cli train --config cub --workdir $RUNS/cub \
