@@ -135,22 +135,23 @@ def measure_torch_cpu() -> float:
 
 
 def cpu_baseline() -> float:
+    cache = {}
     if os.path.exists(_CACHE):
         with open(_CACHE) as f:
-            return float(json.load(f)["samples_per_sec"])
-    sps = measure_torch_cpu()
+            cache = json.load(f)
+    if "samples_per_sec" in cache:
+        return float(cache["samples_per_sec"])
+    cache.update(
+        {
+            "samples_per_sec": measure_torch_cpu(),
+            "what": "eager-PyTorch MNIST MVAE, 3-term ELBO, Adam, "
+            f"batch={BATCH}, host CPU",
+            "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+        }
+    )
     with open(_CACHE, "w") as f:
-        json.dump(
-            {
-                "samples_per_sec": sps,
-                "what": "eager-PyTorch MNIST MVAE, 3-term ELBO, Adam, "
-                f"batch={BATCH}, host CPU",
-                "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
-            },
-            f,
-            indent=2,
-        )
-    return sps
+        json.dump(cache, f, indent=2)
+    return float(cache["samples_per_sec"])
 
 
 def measure_jax(
@@ -210,7 +211,7 @@ def measure_jax(
     return out
 
 
-def measure_torch_cpu_celeba(steps: int = 3, batch: int = 32) -> float:
+def measure_torch_cpu_celeba(steps: int = 10, batch: int = 32) -> float:
     """CelebA reference fixture on CPU: the multi-forward hot loop
     (joint + 19 unimodal + 4 random subsets per step, SURVEY.md 3a)."""
     sys.path.insert(
@@ -244,6 +245,28 @@ def measure_torch_cpu_celeba(steps: int = 3, batch: int = 32) -> float:
     for i in range(steps):
         one_step(i + 1)
     return batch * steps / (time.perf_counter() - t0)
+
+
+def celeba_cpu_baseline() -> float:
+    """Cached CelebA torch-CPU baseline (measuring takes ~30s of 24-term
+    conv forwards on this 1-core host; VERDICT round-1 flagged the old
+    3-step fresh-per-run measurement as too noisy to quote)."""
+    cache = {}
+    if os.path.exists(_CACHE):
+        with open(_CACHE) as f:
+            cache = json.load(f)
+    if "celeba_samples_per_sec" in cache:
+        return float(cache["celeba_samples_per_sec"])
+    sps = measure_torch_cpu_celeba()
+    cache["celeba_samples_per_sec"] = sps
+    cache["celeba_what"] = (
+        "eager-PyTorch CelebA MVAE, 24-term multi-forward loop, Adam, "
+        "batch=32, 10 timed steps, host CPU"
+    )
+    cache["celeba_measured_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
+    with open(_CACHE, "w") as f:
+        json.dump(cache, f, indent=2)
+    return sps
 
 
 def measure_jax_celeba(
@@ -298,7 +321,7 @@ def measure_jax_celeba(
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "mnist"
     if which == "celeba":
-        baseline = measure_torch_cpu_celeba()
+        baseline = celeba_cpu_baseline()
         ref = measure_jax_celeba()
         metric = "celeba_mvae_train_samples_per_sec_per_chip"
         # CelebA is compute-bound at f32 (~76% MFU measured); bf16 is
