@@ -149,8 +149,15 @@ def train(
             state, extra = load_checkpoint(workdir, state, which="last")
             start_epoch = int(extra.get("epoch", 0)) + 1
             best = float(extra.get("best_test_elbo", best))
+    out_state_shardings = None
     if mesh is not None:
-        state = replicate(state, mesh)
+        if config.fsdp:
+            from mmvae_tpu.parallel import fsdp_shard, state_shardings
+
+            state = fsdp_shard(state, mesh)
+            out_state_shardings = state_shardings(state)
+        else:
+            state = replicate(state, mesh)
 
     # The whole epoch is one lax.scan'd XLA program (zero per-step host
     # dispatch); metrics come back stacked and are fetched once per epoch.
@@ -160,6 +167,7 @@ def train(
         annealing_steps=annealing_steps,
         p_modality_drop=config.p_modality_drop,
         cross_recon=config.cross_recon,
+        out_state_shardings=out_state_shardings,
     )
     stacked_sharding = None
     if mesh is not None:

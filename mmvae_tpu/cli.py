@@ -47,6 +47,8 @@ def _overrides(args, config):
         config = config.replace(data_backend=args.data_backend)
     if getattr(args, "cross_recon", None) is not None:
         config = config.replace(cross_recon=args.cross_recon)
+    if getattr(args, "fsdp", None) is not None:
+        config = config.replace(fsdp=args.fsdp)
     return config
 
 
@@ -88,6 +90,11 @@ def main(argv=None) -> int:
         "--keep-epoch-ckpts", dest="keep_epoch_ckpts", type=int,
         help="retain the newest N per-epoch checkpoints "
         "(reference save-each-epoch contract; 0 = last/best only)",
+    )
+    pt.add_argument(
+        "--fsdp", dest="fsdp", action="store_true", default=None,
+        help="shard params + optimizer state over the data mesh "
+        "(ZeRO-3 via GSPMD; needs >1 device)",
     )
     pt.add_argument("--resume", action="store_true")
     pt.add_argument(

@@ -49,6 +49,9 @@ class ExperimentConfig:
     data_backend: str = "device"  # "device" (HBM-resident gathers) or
     # "grain" (the [B:5] Grain pipeline: host-side shuffle/dropout
     # stream, stacked + shipped to device once per epoch)
+    fsdp: bool = False  # shard params + Adam moments over the data mesh
+    # (ZeRO-3 via GSPMD, parallel/fsdp.py); default off -- these models
+    # replicate trivially, the flag is the memory-scaling escape hatch
     model_kwargs: dict[str, Any] = dataclasses.field(default_factory=dict)
 
     def replace(self, **kw) -> "ExperimentConfig":

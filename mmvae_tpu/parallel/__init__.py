@@ -14,6 +14,11 @@ from mmvae_tpu.parallel.mesh import (
     shard_batch,
     replicate,
 )
+from mmvae_tpu.parallel.fsdp import (
+    fsdp_sharding,
+    fsdp_shard,
+    state_shardings,
+)
 
 __all__ = [
     "make_mesh",
@@ -21,4 +26,7 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "replicate",
+    "fsdp_sharding",
+    "fsdp_shard",
+    "state_shardings",
 ]

@@ -159,6 +159,7 @@ def make_train_step(
     annealing_steps: int = 0,
     p_modality_drop: float = 0.0,
     cross_recon: bool = False,
+    out_state_shardings=None,
 ) -> Callable:
     """Build the jitted train step: ``(state, batch) -> (state, metrics)``.
 
@@ -168,6 +169,11 @@ def make_train_step(
     the program too, so the hot loop needs no host-side rng work. The
     incoming ``state`` buffers are donated (params/opt state update in
     place on device).
+
+    ``out_state_shardings`` (a sharding PyTree matching the state, e.g.
+    ``parallel.state_shardings(fsdp_state)``) pins the updated state to
+    the incoming FSDP layout -- without it XLA may materialize the new
+    params replicated, forfeiting the ZeRO-3 memory win.
     """
     impl = _train_step_impl(
         model,
@@ -176,7 +182,11 @@ def make_train_step(
         p_modality_drop=p_modality_drop,
         cross_recon=cross_recon,
     )
-    return jax.jit(impl, donate_argnums=0)
+    if out_state_shardings is None:
+        return jax.jit(impl, donate_argnums=0)
+    return jax.jit(
+        impl, donate_argnums=0, out_shardings=(out_state_shardings, None)
+    )
 
 
 def _train_step_impl(
@@ -236,6 +246,7 @@ def make_epoch_runner(
     annealing_steps: int = 0,
     p_modality_drop: float = 0.0,
     cross_recon: bool = False,
+    out_state_shardings=None,
 ) -> Callable:
     """Build the scan-fused epoch runner: ``(state, batches) -> ...``.
 
@@ -244,6 +255,9 @@ def make_epoch_runner(
     XLA program (``lax.scan`` over steps), removing per-step host dispatch
     entirely -- the fast path ``mmvae_tpu.api.train`` uses. Returns the
     new state and per-step stacked metrics (fetched once per epoch).
+
+    ``out_state_shardings`` pins the post-epoch state to the incoming
+    FSDP layout (see ``make_train_step``).
     """
     impl = _train_step_impl(
         model,
@@ -253,7 +267,6 @@ def make_epoch_runner(
         cross_recon=cross_recon,
     )
 
-    @partial(jax.jit, donate_argnums=0)
     def run_epoch(state, batches):
         def body(state, batch):
             state, metrics = impl(state, batch)
@@ -261,7 +274,13 @@ def make_epoch_runner(
 
         return jax.lax.scan(body, state, batches)
 
-    return run_epoch
+    if out_state_shardings is None:
+        return jax.jit(run_epoch, donate_argnums=0)
+    return jax.jit(
+        run_epoch,
+        donate_argnums=0,
+        out_shardings=((out_state_shardings, None)),
+    )
 
 
 def make_eval_step(model) -> Callable:
