@@ -131,6 +131,22 @@ def main(argv=None) -> int:
     pg.add_argument("--out", default=None)
     pg.add_argument("--n-latents", dest="n_latents", type=int)
 
+    px = sub.add_parser(
+        "export",
+        help="AOT-export the generation program (params baked in) to a "
+        "self-contained StableHLO serving artifact",
+    )
+    _add_common(px)
+    px.add_argument("--out", required=True, help="artifact path")
+    px.add_argument("--batch-size-export", dest="batch_size_export",
+                    type=int, default=8)
+    px.add_argument("--sample-z", action="store_true")
+    px.add_argument("--n-latents", dest="n_latents", type=int)
+    px.add_argument(
+        "--platforms", default="cpu,tpu",
+        help="comma-separated lowering platforms (default cpu,tpu)",
+    )
+
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -203,6 +219,24 @@ def main(argv=None) -> int:
             dtype=dtype,
         )
         _dump(out, args.out, config_name=args.config)
+        return 0
+
+    if args.cmd == "export":
+        from mmvae_tpu import serving
+
+        path = serving.export_generate(
+            config,
+            args.out,
+            batch_size=args.batch_size_export,
+            workdir=args.workdir,
+            sample_z=args.sample_z,
+            platforms=tuple(args.platforms.split(",")),
+        )
+        print(
+            json.dumps(
+                {"written": path, "bytes": os.path.getsize(path)}
+            )
+        )
         return 0
 
     return 1

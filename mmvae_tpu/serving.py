@@ -1,0 +1,176 @@
+"""AOT serving export: the cross-modal generation program as one artifact.
+
+Production-serving counterpart of ``api.generate`` (SURVEY.md 3d): the
+whole conditioned-generation pipeline — encode observed modalities →
+masked PoE fusion → z (posterior mean or sample) → decode EVERY modality
+→ per-kind postprocess (sigmoid / argmax / autoregressive text decode) —
+is jitted ONCE with the trained params baked in as constants and
+serialized via ``jax.export`` to a single self-contained StableHLO
+artifact. A server deserializes it and calls it; no model code, no
+checkpoint, no Python framework on the serving side beyond jax.
+
+The artifact is lowered for BOTH ``cpu`` and ``tpu`` platforms, so the
+same bytes serve on a TPU pod and in a CPU canary. Inputs are fixed
+shape (AOT = static shapes, the XLA contract): a batch dict shaped like
+``model.dummy_batch(batch_size)``, a ``(batch, n_modalities)`` float
+presence mask selecting which modalities are observed, an int32 seed
+and an f32 temperature (both traced — one program serves all seeds and
+temperatures).
+
+File format: a small JSON header (modalities, shapes, batch size,
+config name) + the ``jax.export`` blob, so a server can introspect the
+interface without deserializing the program.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmvae_tpu.core import reparameterize
+from mmvae_tpu.core.poe import product_of_experts
+
+__all__ = ["make_generate_fn", "export_generate", "load_generate"]
+
+_MAGIC = b"MMVAEXP1"
+
+
+def make_generate_fn(model, params, *, sample_z: bool = False) -> Callable:
+    """Jittable ``(batch, presence, seed, temperature) -> outputs`` with
+    the params closed over.
+
+    Mirrors ``api.generate``'s math: masked PoE over the observed
+    experts (+ analytic prior), ``z = mu`` (or a reparameterized sample
+    when ``sample_z``), every decoder runs, outputs are postprocessed
+    per likelihood kind (bernoulli → sigmoid probs, categorical →
+    argmax ids, seq → sampled token ids at ``temperature``).
+    """
+    kinds = model.decode_kinds()
+    seq_names = [s.name for s in model.specs() if s.kind == "seq"]
+
+    def fn(batch, presence, seed, temperature):
+        variables = {"params": params}
+        mu_e, lv_e = model.apply(variables, batch, method="encode")
+        mu, logvar = product_of_experts(mu_e, lv_e, mask=presence)
+        key = jax.random.PRNGKey(seed)
+        key, z_key = jax.random.split(key)
+        z = reparameterize(z_key, mu, logvar, sample=sample_z)
+        recons = model.apply(variables, z, None, method="decode")
+        out = {}
+        for name, value in recons.items():
+            kind = kinds.get(name, "bernoulli")
+            if kind == "bernoulli":
+                out[name] = jax.nn.sigmoid(value)
+            elif kind == "categorical":
+                out[name] = jnp.argmax(value, axis=-1)
+            else:
+                out[name] = value
+        for name in seq_names:
+            key, sub = jax.random.split(key)
+            out[name] = model.apply(
+                variables, z, sub, temperature, method="generate_text"
+            )
+        return out
+
+    return fn
+
+
+def export_generate(
+    config,
+    out_path: str,
+    *,
+    batch_size: int = 8,
+    workdir: str | None = None,
+    params=None,
+    model=None,
+    sample_z: bool = False,
+    platforms: tuple[str, ...] = ("cpu", "tpu"),
+) -> str:
+    """Export the generation program for ``config`` to ``out_path``.
+
+    Params come from ``workdir``'s best checkpoint (or pass ``params``
+    directly). Returns ``out_path``.
+    """
+    from jax import export as jexport
+
+    from mmvae_tpu import api
+    from mmvae_tpu.configs import build_model
+
+    config = api._resolve_with_workdir(config, workdir)
+    if model is None:
+        model = build_model(config)
+    if params is None:
+        if workdir is None:
+            raise ValueError("need params or workdir")
+        params = api._load_params(config, model, workdir)
+
+    fn = make_generate_fn(model, params, sample_z=sample_z)
+    batch = model.dummy_batch(batch_size)
+    batch_spec = {
+        k: jax.ShapeDtypeStruct(np.asarray(v).shape, np.asarray(v).dtype)
+        for k, v in batch.items()
+    }
+    n_mod = model.n_modalities
+    presence_spec = jax.ShapeDtypeStruct(
+        (batch_size, n_mod), np.float32
+    )
+    exported = jexport.export(jax.jit(fn), platforms=platforms)(
+        batch_spec,
+        presence_spec,
+        jax.ShapeDtypeStruct((), np.int32),
+        jax.ShapeDtypeStruct((), np.float32),
+    )
+    blob = exported.serialize()
+    header = json.dumps(
+        {
+            "config": config.name,
+            "batch_size": batch_size,
+            "sample_z": sample_z,
+            "platforms": list(platforms),
+            "modalities": [s.name for s in model.specs()],
+            "batch_shapes": {
+                k: [list(v.shape), str(v.dtype)]
+                for k, v in batch_spec.items()
+            },
+        }
+    ).encode()
+    with open(out_path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<I", len(header)))
+        f.write(header)
+        f.write(blob)
+    return out_path
+
+
+def load_generate(path: str):
+    """Load an exported artifact: ``(meta, call)``.
+
+    ``call(batch, presence, seed, temperature)`` runs the deserialized
+    program on the current backend (must be one of the artifact's
+    platforms). ``meta`` is the JSON header dict.
+    """
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError(f"{path}: not an mmvae export artifact")
+        (hlen,) = struct.unpack("<I", f.read(4))
+        meta = json.loads(f.read(hlen).decode())
+        blob = f.read()
+    exported = jexport.deserialize(blob)
+
+    def call(batch: dict[str, Any], presence, seed=0, temperature=1.0):
+        return exported.call(
+            batch,
+            jnp.asarray(presence, jnp.float32),
+            jnp.asarray(seed, jnp.int32),
+            jnp.asarray(temperature, jnp.float32),
+        )
+
+    return meta, call

@@ -1,0 +1,122 @@
+"""AOT serving export (mmvae_tpu/serving.py): the exported StableHLO
+artifact must reproduce ``api.generate`` exactly and round-trip through
+serialize -> file -> deserialize with an introspectable header."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from mmvae_tpu import api, serving
+from mmvae_tpu.configs import build_model, get_config
+from mmvae_tpu.train import create_train_state
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    config = get_config("mnist").replace(n_latents=8)
+    model = build_model(config)
+    state = create_train_state(
+        model, model.dummy_batch(2), jax.random.key(0), 1e-3
+    )
+    return config, model, state.params
+
+
+def test_export_roundtrip_matches_api_generate(
+    model_and_params, tmp_path
+):
+    config, model, params = model_and_params
+    path = str(tmp_path / "mnist.mmvaexp")
+    serving.export_generate(
+        config,
+        path,
+        batch_size=4,
+        params=params,
+        model=model,
+        platforms=("cpu",),
+    )
+    meta, call = serving.load_generate(path)
+    assert meta["config"] == "mnist"
+    assert meta["batch_size"] == 4
+    assert set(meta["modalities"]) == {"image", "label"}
+
+    # Condition on labels [0,1,2,3]; presence marks only the label
+    # expert observed -- same contract as api.generate.
+    batch = {
+        k: np.asarray(v) for k, v in model.dummy_batch(4).items()
+    }
+    batch["label"] = np.asarray([0, 1, 2, 3])
+    presence = np.asarray(
+        [[0.0, 1.0]] * 4, np.float32
+    )  # (image, label)
+    out = call(batch, presence, seed=0, temperature=1.0)
+
+    ref = api.generate(
+        config,
+        {"label": np.asarray([0, 1, 2, 3])},
+        model=model,
+        params=params,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["image"]),
+        np.asarray(ref["image"]),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["label"]), np.asarray(ref["label"])
+    )
+
+
+def test_artifact_header_readable_without_deserialize(
+    model_and_params, tmp_path
+):
+    config, model, params = model_and_params
+    path = str(tmp_path / "hdr.mmvaexp")
+    serving.export_generate(
+        config, path, batch_size=2, params=params, model=model,
+        platforms=("cpu",),
+    )
+    import struct
+
+    with open(path, "rb") as f:
+        assert f.read(8) == b"MMVAEXP1"
+        (hlen,) = struct.unpack("<I", f.read(4))
+        meta = json.loads(f.read(hlen).decode())
+    assert meta["batch_shapes"]["image"][0] == [2, 28, 28]
+    assert meta["platforms"] == ["cpu"]
+
+
+def test_bad_magic_rejected(tmp_path):
+    p = tmp_path / "junk.bin"
+    p.write_bytes(b"NOTANEXPORT")
+    with pytest.raises(ValueError, match="not an mmvae export"):
+        serving.load_generate(str(p))
+
+
+def test_cli_export(tmp_path):
+    """CLI: train a tiny model, export, load, run."""
+    from mmvae_tpu.cli import main
+
+    wd = str(tmp_path / "run")
+    rc = main([
+        "train", "--config", "mnist", "--workdir", wd,
+        "--epochs", "1", "--train-size", "64", "--test-size", "32",
+        "--n-latents", "8", "--batch-size", "16", "--no-mesh",
+    ])
+    assert rc == 0
+    art = str(tmp_path / "m.mmvaexp")
+    rc = main([
+        "export", "--config", "mnist", "--workdir", wd,
+        "--out", art, "--batch-size-export", "4",
+        "--platforms", "cpu",
+    ])
+    assert rc == 0
+    meta, call = serving.load_generate(art)
+    model = build_model(get_config("mnist").replace(n_latents=8))
+    batch = {k: np.asarray(v) for k, v in model.dummy_batch(4).items()}
+    presence = np.zeros((4, 2), np.float32)  # prior sampling
+    out = call(batch, presence, seed=1)
+    assert np.asarray(out["image"]).shape == (4, 28, 28)
+    assert np.isfinite(np.asarray(out["image"])).all()
