@@ -157,12 +157,17 @@ class SeqDecoder(nn.Module):
             xw = self.embed(tok) @ w_in
             h = _gru_step(h, xw, u, b)
             logits = self.out_proj(h).astype(jnp.float32)
-            if temperature <= 0.0:
-                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            else:
-                nxt = jax.random.categorical(
-                    step_rng, logits / temperature, axis=-1
-                ).astype(jnp.int32)
+            # Trace-safe temperature switch (the serving export traces
+            # temperature as a runtime scalar): argmax when <= 0, else
+            # sample at temperature. Both branches are cheap; jnp.where
+            # beats lax.cond here (no branch dispatch inside the scan).
+            t = jnp.asarray(temperature, jnp.float32)
+            safe_t = jnp.where(t > 0.0, t, 1.0)
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            sampled = jax.random.categorical(
+                step_rng, logits / safe_t, axis=-1
+            ).astype(jnp.int32)
+            nxt = jnp.where(t > 0.0, sampled, greedy)
             emitted = jnp.where(stopped, jnp.int32(PAD), nxt)
             stopped = jnp.logical_or(stopped, nxt == STOP)
             return (h, nxt, stopped), emitted

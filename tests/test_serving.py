@@ -120,3 +120,27 @@ def test_cli_export(tmp_path):
     out = call(batch, presence, seed=1)
     assert np.asarray(out["image"]).shape == (4, 28, 28)
     assert np.isfinite(np.asarray(out["image"])).all()
+
+
+@pytest.mark.slow
+def test_export_seq_model(tmp_path):
+    """Sequence decode (lax.scan GRU + categorical sampling) must survive
+    the export->deserialize round trip (multimnist)."""
+    from mmvae_tpu.models import MultiMnistMVAE
+
+    config = get_config("multimnist").replace(n_latents=16)
+    model = MultiMnistMVAE(n_latents=16)
+    state = create_train_state(
+        model, model.dummy_batch(2), jax.random.key(0), 1e-3
+    )
+    path = str(tmp_path / "mm.mmvaexp")
+    serving.export_generate(
+        config, path, batch_size=2, params=state.params, model=model,
+        platforms=("cpu",),
+    )
+    meta, call = serving.load_generate(path)
+    batch = {k: np.asarray(v) for k, v in model.dummy_batch(2).items()}
+    presence = np.zeros((2, model.n_modalities), np.float32)
+    out = call(batch, presence, seed=3, temperature=0.7)
+    assert np.asarray(out["text"]).shape == (2, model.max_len)
+    assert np.asarray(out["image"]).ndim >= 3
