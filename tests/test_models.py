@@ -115,3 +115,25 @@ def test_bfloat16_compute_path():
     # params stayed f32
     leaf = jax.tree.leaves(state.params)[0]
     assert leaf.dtype == jnp.float32
+
+
+@pytest.mark.slow
+def test_cub_high_resolution():
+    """CUB scales to 128x128 via image_hw + a deeper conv stack
+    (docs/STATUS.md round-3 candidate; reference crop size is
+    unverifiable while the mount is empty, so the knob must work)."""
+    import jax
+    from mmvae_tpu.models import CubMVAE
+    from mmvae_tpu.train import multi_term_loss
+
+    m = CubMVAE(
+        n_latents=16,
+        image_hw=(128, 128),
+        conv_features=(16, 32, 64, 128, 256),
+    )
+    b = m.dummy_batch(2)
+    v = m.init(jax.random.key(0), b, rng=jax.random.key(1))
+    loss, _ = multi_term_loss(
+        m, v["params"], b, jax.random.key(2), beta=0.5
+    )
+    assert np.isfinite(float(loss))
