@@ -89,6 +89,11 @@ def _grain_epoch(train_ds, config, model, seed: int, sharding=None):
         seed=seed,
     )
     steps = [b for b in loader]
+    if not steps:
+        raise ValueError(
+            f"grain loader yielded no batches: train_size "
+            f"{train_ds.size} < batch_size {config.batch_size}"
+        )
     stacked = {
         k: np.stack([b[k] for b in steps]) for k in steps[0]
     }

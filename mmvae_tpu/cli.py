@@ -231,6 +231,7 @@ def main(argv=None) -> int:
             workdir=args.workdir,
             sample_z=args.sample_z,
             platforms=tuple(args.platforms.split(",")),
+            dtype=dtype,
         )
         print(
             json.dumps(
@@ -245,9 +246,20 @@ def main(argv=None) -> int:
 def _decode_text(tokens: np.ndarray, config_name: str) -> list[str]:
     """Human-readable decode of generated token sequences."""
     if config_name == "cub":
-        from mmvae_tpu.data.synthetic import cub_vocab
+        # Must be the SAME vocabulary that sized the model: the real
+        # corpus vocab when MMVAE_DATA_DIR mounts real CUB (ids up to
+        # ~2004), else the synthetic one (configs._cub_vocab_size).
+        vocab = None
+        data_dir = os.environ.get("MMVAE_DATA_DIR", "")
+        cub_dir = os.path.join(data_dir, "cub") if data_dir else ""
+        if cub_dir and os.path.isdir(cub_dir):
+            from mmvae_tpu.data.formats import cub_data_vocab
 
-        vocab = cub_vocab()
+            vocab = cub_data_vocab(cub_dir)
+        if vocab is None:
+            from mmvae_tpu.data.synthetic import cub_vocab
+
+            vocab = cub_vocab()
         return [vocab.decode(row) for row in tokens[:8]]
     # multimnist digit strings: token d+3 -> digit d.
     out = []

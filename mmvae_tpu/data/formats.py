@@ -88,9 +88,26 @@ def load_mnist_idx(dirpath: str, split: str) -> dict[str, np.ndarray] | None:
     return {"image": images, "label": labels}
 
 
+def _split_holdout(items, split: str, holdout: int):
+    """Disjoint train/test split: last ``holdout`` items are test.
+
+    Small mounts shrink the holdout (20% of the data) instead of
+    silently returning the SAME items for both splits -- train/test
+    overlap would corrupt the parity metric."""
+    n = len(items)
+    if n <= holdout:
+        holdout = max(1, n // 5)
+    out = items[:-holdout] if split == "train" else items[-holdout:]
+    if not out:
+        raise ValueError(
+            f"dataset too small to split: {n} examples, holdout {holdout}"
+        )
+    return out
+
+
 def load_celeba_raw(
     dirpath: str, split: str, hw: int = 64,
-    holdout: int = 2000,
+    holdout: int = 2000, n: int | None = None,
 ) -> dict[str, np.ndarray] | None:
     """CelebA standard layout -> {image: (N,hw,hw,3) f32,
     attrs: (N,18) f32}, or None if absent.
@@ -128,10 +145,12 @@ def load_celeba_raw(
         names.append(parts[0])
         vals = np.array([float(parts[1 + c]) for c in cols], np.float32)
         attrs.append((vals > 0).astype(np.float32))
-    if split == "train":
-        names, attrs = names[:-holdout] or names, attrs[:-holdout] or attrs
-    else:
-        names, attrs = names[-holdout:], attrs[-holdout:]
+    names = _split_holdout(names, split, holdout)
+    attrs = _split_holdout(attrs, split, holdout)
+    if n is not None:
+        # Slice the NAME list before decoding: a full CelebA download is
+        # ~200k JPEGs / ~10 GB decoded -- only decode what's requested.
+        names, attrs = names[:n], attrs[:n]
 
     images = np.empty((len(names), hw, hw, 3), np.float32)
     for i, fname in enumerate(names):
@@ -175,14 +194,26 @@ def _cub_pairs(dirpath: str) -> list[tuple[str, str]] | None:
     return sorted(pairs) or None
 
 
+# Corpus scan is expensive (every caption file); memoize per data dir so
+# model sizing + train + test share one build within a process.
+_VOCAB_CACHE: dict[str, object] = {}
+
+
 def cub_data_vocab(dirpath: str, max_words: int = 2000):
     """Build (or load the persisted) word vocabulary for a real CUB
-    caption corpus: most-frequent ``max_words`` words + <unk>, saved to
-    ``vocab.json`` in the data dir so train/test/model sizing agree."""
+    caption corpus: most-frequent ``max_words`` words + <unk>.
+
+    Persisted as ``vocab.json`` in the data dir so separate processes
+    agree; a read-only mount just skips persistence (the build is
+    deterministic -- sorted pairs, most_common ties broken by count then
+    insertion -- so every process derives the identical vocabulary)."""
     import json
 
     from mmvae_tpu.data.vocab import Vocab
 
+    key = os.path.abspath(dirpath)
+    if key in _VOCAB_CACHE:
+        return _VOCAB_CACHE[key]
     vpath = os.path.join(dirpath, "vocab.json")
     if os.path.exists(vpath):
         with open(vpath) as f:
@@ -190,6 +221,7 @@ def cub_data_vocab(dirpath: str, max_words: int = 2000):
         v = Vocab([], unk=True)
         v.itos = itos
         v.stoi = {w: i for i, w in enumerate(itos)}
+        _VOCAB_CACHE[key] = v
         return v
     pairs = _cub_pairs(dirpath)
     if pairs is None:
@@ -203,8 +235,20 @@ def cub_data_vocab(dirpath: str, max_words: int = 2000):
                 counts.update(_normalize_caption(line).split())
     words = [w for w, _ in counts.most_common(max_words)]
     v = Vocab(words, unk=True)
-    with open(vpath, "w") as f:
-        json.dump({"itos": v.itos}, f)
+    try:
+        # tmp + rename: never leave a truncated vocab.json for another
+        # process to misparse.
+        with open(vpath + ".tmp", "w") as f:
+            json.dump({"itos": v.itos}, f)
+        os.replace(vpath + ".tmp", vpath)
+    except OSError:
+        # Read-only dataset mount: in-memory vocab still works (the
+        # build is deterministic, every process derives the same one).
+        try:
+            os.unlink(vpath + ".tmp")
+        except OSError:
+            pass
+    _VOCAB_CACHE[key] = v
     return v
 
 
@@ -220,7 +264,7 @@ def _normalize_caption(line: str) -> str:
 
 def load_cub_raw(
     dirpath: str, split: str, hw: int = 64, max_len: int = 32,
-    holdout: int = 1000,
+    holdout: int = 1000, n: int | None = None,
 ) -> dict[str, np.ndarray] | None:
     """CUB images + caption files -> {image: (N,hw,hw,3) f32,
     text: (N,max_len) i32}, or None if the layout is absent.
@@ -236,10 +280,9 @@ def load_cub_raw(
 
     from PIL import Image
 
-    if split == "train":
-        pairs = pairs[:-holdout] or pairs
-    else:
-        pairs = pairs[-holdout:]
+    pairs = _split_holdout(pairs, split, holdout)
+    if n is not None:
+        pairs = pairs[:n]  # decode only the requested examples
     images = np.empty((len(pairs), hw, hw, 3), np.float32)
     tokens = np.empty((len(pairs), max_len), np.int32)
     for i, (img_path, txt_path) in enumerate(pairs):

@@ -80,9 +80,11 @@ def load_dataset(
         if name in ("mnist", "fashionmnist"):
             arrays = formats.load_mnist_idx(d, split)
         elif name == "celeba":
-            arrays = formats.load_celeba_raw(d, split)
+            # n plumbs through so only the requested examples are
+            # JPEG-decoded (a full download is ~200k images).
+            arrays = formats.load_celeba_raw(d, split, n=n)
         elif name == "cub":
-            arrays = formats.load_cub_raw(d, split)
+            arrays = formats.load_cub_raw(d, split, n=n)
     if arrays is None:
         defaults = {"train": 10000, "test": 2000}
         if seed is None:

@@ -90,11 +90,14 @@ def export_generate(
     model=None,
     sample_z: bool = False,
     platforms: tuple[str, ...] = ("cpu", "tpu"),
+    dtype=jnp.float32,
 ) -> str:
     """Export the generation program for ``config`` to ``out_path``.
 
     Params come from ``workdir``'s best checkpoint (or pass ``params``
-    directly). Returns ``out_path``.
+    directly). ``dtype`` is the experts' compute dtype (bf16 halves the
+    artifact's compute cost on TPU; params stay f32). Returns
+    ``out_path``.
     """
     from jax import export as jexport
 
@@ -103,7 +106,7 @@ def export_generate(
 
     config = api._resolve_with_workdir(config, workdir)
     if model is None:
-        model = build_model(config)
+        model = build_model(config, dtype=dtype)
     if params is None:
         if workdir is None:
             raise ValueError("need params or workdir")

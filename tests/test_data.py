@@ -211,9 +211,21 @@ def test_celeba_raw_ingestion(tmp_path, monkeypatch):
     from mmvae_tpu.data import load_dataset
 
     ds = load_dataset("celeba", "train", n=None)
-    # holdout=2000 > n: train falls back to the full set.
-    assert ds.arrays["image"].shape == (n, 64, 64, 3)
-    assert ds.arrays["attrs"].shape == (n, 18)
+    # holdout=2000 > n: the holdout shrinks to 20% (here 1 example) so
+    # train and test stay DISJOINT even on tiny mounts.
+    assert ds.arrays["image"].shape == (n - 1, 64, 64, 3)
+    assert ds.arrays["attrs"].shape == (n - 1, 18)
+    ds_test = load_dataset("celeba", "test", n=None)
+    assert ds_test.size == 1
+    # Disjoint: the test image is not among the train images.
+    diffs = np.abs(
+        np.asarray(ds.arrays["image"])
+        - np.asarray(ds_test.arrays["image"][0])
+    ).reshape(n - 1, -1).max(axis=1)
+    assert (diffs > 1e-6).all()
+    # n slices the name list BEFORE decode (no full-set materialize).
+    ds2 = load_dataset("celeba", "train", n=2)
+    assert ds2.size == 2
     a = np.asarray(ds.arrays["attrs"])
     assert set(np.unique(a)).issubset({0.0, 1.0})
     img0 = np.asarray(ds.arrays["image"][0])
@@ -249,9 +261,11 @@ def test_cub_raw_ingestion(tmp_path, monkeypatch):
     from mmvae_tpu.data import load_dataset
     from mmvae_tpu.data.formats import cub_data_vocab
 
-    ds = load_dataset("cub", "train")  # holdout > n -> full set
-    assert ds.arrays["image"].shape == (6, 64, 64, 3)
-    assert ds.arrays["text"].shape[0] == 6
+    # holdout > n: shrinks to 20% (1 of 6) so train/test stay disjoint.
+    ds = load_dataset("cub", "train")
+    assert ds.arrays["image"].shape == (5, 64, 64, 3)
+    assert ds.arrays["text"].shape[0] == 5
+    assert load_dataset("cub", "test").size == 1
     assert (d / "vocab.json").exists()
     vocab = cub_data_vocab(str(d))
     toks = np.asarray(ds.arrays["text"][0])
@@ -276,3 +290,55 @@ def test_vocab_unk_handling():
     v2 = Vocab(["red", "bird"])  # closed vocab: unknowns raise
     with pytest.raises(KeyError):
         v2.encode("red unknown", max_len=4)
+
+
+def test_cub_vocab_survives_readonly_mount(tmp_path, monkeypatch):
+    """A read-only CUB mount (vocab.json not writable) must still build
+    the corpus vocabulary in memory instead of crashing build_model.
+
+    (chmod can't simulate this under root -- root bypasses permission
+    bits -- so the persist write itself is patched to raise OSError.)"""
+    pytest.importorskip("PIL")
+    import json as json_mod
+
+    from PIL import Image
+
+    d = tmp_path / "cub"
+    (d / "images" / "001.A").mkdir(parents=True)
+    (d / "text_c10" / "001.A").mkdir(parents=True)
+    rng = np.random.default_rng(3)
+    for j in range(2):
+        img = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(d / "images" / "001.A" / f"i{j}.jpg")
+        (d / "text_c10" / "001.A" / f"i{j}.txt").write_text(
+            "a bird with black wings\n"
+        )
+
+    from mmvae_tpu.data import formats
+
+    def refuse_dump(*a, **k):
+        raise OSError(30, "Read-only file system")
+
+    monkeypatch.setattr(json_mod, "dump", refuse_dump)
+    formats._VOCAB_CACHE.clear()
+    v = formats.cub_data_vocab(str(d))
+    assert v is not None and "bird" in v.stoi
+    # Memoized: second call must not rescan (cache hit is identity).
+    assert formats.cub_data_vocab(str(d)) is v
+    formats._VOCAB_CACHE.clear()
+
+
+def test_grain_empty_epoch_raises():
+    """batch_size > train_size through the Grain backend must fail with
+    a clear message, not an IndexError on an empty batch list."""
+    from mmvae_tpu import api
+    from mmvae_tpu.configs import get_config
+    from mmvae_tpu.data import load_dataset
+    from mmvae_tpu.models import MnistMVAE
+
+    pytest.importorskip("grain")
+    ds = load_dataset("mnist", n=16, seed=0)
+    config = get_config("mnist").replace(batch_size=100)
+    model = MnistMVAE(n_latents=8)
+    with pytest.raises(ValueError, match="no batches"):
+        api._grain_epoch(ds, config, model, seed=0)

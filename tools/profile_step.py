@@ -76,8 +76,11 @@ def main() -> int:
 
 def _summarize(logdir: str) -> None:
     """Best-effort xplane summary: top ops by self time per plane."""
+    # Some jax/platform combos gzip the xplane file -- match both.
     paths = glob.glob(
         os.path.join(logdir, "**", "*.xplane.pb"), recursive=True
+    ) + glob.glob(
+        os.path.join(logdir, "**", "*.xplane.pb.gz"), recursive=True
     )
     if not paths:
         print("no xplane files found (trace may be host-only)")
