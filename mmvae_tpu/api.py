@@ -302,6 +302,74 @@ def eval_elbo(
     )
 
 
+def log_likelihood(
+    config: str | ExperimentConfig,
+    *,
+    model=None,
+    params=None,
+    workdir: str | None = None,
+    dataset=None,
+    split: str = "test",
+    k: int = 64,
+    batch_size: int | None = None,
+    seed: int = 0,
+    dtype=jnp.float32,
+) -> float:
+    """Mean IWAE estimate of the joint marginal log p(x) over a split.
+
+    The MVAE paper's importance-sampled test log-likelihood (natural
+    log, per example; see ``core/iwae.py``). Whole split runs as one
+    scan-fused program; the padded last batch is presence-masked out of
+    the mean, so every example counts exactly once.
+    """
+    from mmvae_tpu.core import iwae_bound
+
+    config = _resolve_with_workdir(config, workdir)
+    if model is None:
+        model = build_model(config, dtype=dtype)
+    if params is None:
+        if workdir is None:
+            raise ValueError("need params or workdir")
+        params = _load_params(config, model, workdir)
+    if dataset is None:
+        dataset = load_dataset(config.dataset, split, n=config.test_size)
+    batch_size = min(batch_size or config.batch_size, dataset.size)
+    batches, valid = stacked_epoch_padded(dataset, batch_size)
+
+    def make_runner():
+        @jax.jit
+        def runner(params, batches, valid, rng):
+            def body(carry, xs):
+                batch, v, i = xs
+                ll = iwae_bound(
+                    model, params, batch, jax.random.fold_in(rng, i), k=k
+                )
+                return carry + jnp.sum(ll * v), None
+
+            total, _ = jax.lax.scan(
+                body,
+                jnp.zeros((), jnp.float32),
+                (batches, valid, jnp.arange(valid.shape[0])),
+            )
+            return total
+
+        return runner
+
+    try:
+        runner = _LL_RUNNERS.get((model, int(k)))
+        if runner is None:
+            runner = make_runner()
+            _LL_RUNNERS[(model, int(k))] = runner
+    except TypeError:  # unhashable model
+        runner = make_runner()
+    total = runner(params, batches, valid, jax.random.key(seed))
+    return float(np.asarray(total)) / dataset.size
+
+
+# IWAE runners, memoized like the eval runners below.
+_LL_RUNNERS: dict[Any, Callable] = {}
+
+
 # One eval runner per model: make_eval_runner returns a fresh jax.jit
 # closure each call, so without this cache every train() epoch would
 # retrace+recompile the eval program (~60s each on the remote-compile

@@ -107,6 +107,11 @@ def main(argv=None) -> int:
     pe.add_argument("--split", default="test", choices=["train", "test"])
     pe.add_argument("--test-size", dest="test_size", type=int)
     pe.add_argument("--n-latents", dest="n_latents", type=int)
+    pe.add_argument(
+        "--iwae-k", dest="iwae_k", type=int, default=0,
+        help="also report the importance-sampled marginal "
+        "log-likelihood with k samples (0 = ELBO only)",
+    )
 
     ps = sub.add_parser("sample", help="prior samples from a checkpoint")
     _add_common(ps)
@@ -181,7 +186,17 @@ def main(argv=None) -> int:
         elbo = api.eval_elbo(
             config, workdir=args.workdir, split=args.split, dtype=dtype
         )
-        print(json.dumps({"split": args.split, "elbo": elbo}))
+        out = {"split": args.split, "elbo": elbo}
+        if args.iwae_k > 0:
+            out["log_likelihood"] = api.log_likelihood(
+                config,
+                workdir=args.workdir,
+                split=args.split,
+                k=args.iwae_k,
+                dtype=dtype,
+            )
+            out["iwae_k"] = args.iwae_k
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "sample":

@@ -14,6 +14,7 @@ from mmvae_tpu.core.likelihoods import (
 from mmvae_tpu.core.elbo import kl_std_normal, elbo_terms
 from mmvae_tpu.core.annealing import annealing_factor
 from mmvae_tpu.core.subsets import elbo_subset_masks, random_subset_masks
+from mmvae_tpu.core.iwae import iwae_bound
 
 __all__ = [
     "product_of_experts",
@@ -27,4 +28,5 @@ __all__ = [
     "annealing_factor",
     "elbo_subset_masks",
     "random_subset_masks",
+    "iwae_bound",
 ]
