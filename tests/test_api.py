@@ -260,3 +260,20 @@ def test_latest_epoch_uses_sidecar(tmp_path):
     with open(meta) as f:
         assert _json.load(f)["epoch"] == 1
     assert latest_epoch(workdir) == 1
+
+
+def test_train_deterministic_under_seed(tiny_cfg):
+    """Same seed -> bit-identical loss history (production
+    reproducibility: seeded data, in-program rng from state.rng, no
+    host-side nondeterminism); different seed diverges."""
+    a = api.train(tiny_cfg, None, seed=11, use_mesh=False, verbose=False)
+    b = api.train(tiny_cfg, None, seed=11, use_mesh=False, verbose=False)
+    ha = [h["train_loss"] for h in a.history]
+    hb = [h["train_loss"] for h in b.history]
+    assert ha == hb
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(a.state.params)[0]),
+        np.asarray(jax.tree.leaves(b.state.params)[0]),
+    )
+    c = api.train(tiny_cfg, None, seed=12, use_mesh=False, verbose=False)
+    assert [h["train_loss"] for h in c.history] != ha
