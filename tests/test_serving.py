@@ -144,3 +144,65 @@ def test_export_seq_model(tmp_path):
     out = call(batch, presence, seed=3, temperature=0.7)
     assert np.asarray(out["text"]).shape == (2, model.max_len)
     assert np.asarray(out["image"]).ndim >= 3
+
+
+def test_http_serving_host(model_and_params, tmp_path):
+    """tools/serve.py round trip: export -> serve over HTTP -> generate."""
+    import json as json_mod
+    import sys
+    import threading
+    import urllib.request
+
+    config, model, params = model_and_params
+    path = str(tmp_path / "srv.mmvaexp")
+    serving.export_generate(
+        config, path, batch_size=4, params=params, model=model,
+        platforms=("cpu",),
+    )
+    sys.path.insert(0, "tools")
+    import serve as serve_mod
+
+    meta, call = serving.load_generate(path)
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), serve_mod.make_handler(meta, call)
+    )
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/meta", timeout=30
+        ) as r:
+            got_meta = json_mod.loads(r.read())
+        assert got_meta["config"] == "mnist"
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json_mod.dumps(
+                {"condition": {"label": [1, 2]}, "seed": 0}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json_mod.loads(r.read())
+        assert out["n"] == 2
+        assert np.asarray(out["outputs"]["image"]).shape == (2, 28, 28)
+        # (untrained fixture params: decoded labels are arbitrary ints,
+        # shape is the contract here)
+        assert np.asarray(out["outputs"]["label"]).shape == (2,)
+
+        # Bad modality -> clean 400 JSON error.
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json_mod.dumps({"condition": {"nope": [1]}}).encode(),
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "unknown modalities" in json_mod.loads(e.read())["error"]
+    finally:
+        server.shutdown()

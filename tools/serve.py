@@ -1,0 +1,131 @@
+"""Minimal serving host for an exported generation artifact.
+
+    python tools/serve.py model.mmvaexp [port]
+
+Loads a ``cli export`` artifact (mmvae_tpu/serving.py) and serves it
+over HTTP with no dependencies beyond the stdlib + jax:
+
+  GET  /meta      -> the artifact's JSON interface header
+  POST /generate  -> body {"condition": {<modality>: [...], ...},
+                           "seed": 0, "temperature": 1.0}
+                     -> {"outputs": {<modality>: nested lists}}
+
+Conditioning semantics match ``api.generate``: modalities present in
+``condition`` are observed (their expert enters the PoE fusion); absent
+ones are generated. Requests are padded to the artifact's fixed batch
+size (AOT = static shapes) and the padding is stripped from the reply.
+
+This is intentionally the thinnest possible host -- the point is that
+the *artifact* carries the whole model (params + program), so a real
+deployment can embed the same ``load_generate`` call in any stack.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def make_handler(meta, call):
+    batch_size = int(meta["batch_size"])
+    modalities = list(meta["modalities"])
+    shapes = {
+        k: (tuple(v[0]), np.dtype(v[1]))
+        for k, v in meta["batch_shapes"].items()
+    }
+
+    def run_generate(payload):
+        cond = payload.get("condition", {}) or {}
+        unknown = set(cond) - set(shapes)
+        if unknown:
+            raise ValueError(
+                f"unknown modalities {sorted(unknown)}; have {modalities}"
+            )
+        n = batch_size
+        for v in cond.values():
+            n = min(batch_size, len(v))
+            break
+        batch = {
+            k: np.zeros(shp, dt) for k, (shp, dt) in shapes.items()
+        }
+        presence = np.zeros((batch_size, len(modalities)), np.float32)
+        idx = {m: i for i, m in enumerate(modalities)}
+        for key, value in cond.items():
+            arr = np.asarray(value, shapes[key][1])
+            batch[key][: len(arr)] = arr[:batch_size]
+            if key in idx:
+                presence[: len(arr), idx[key]] = 1.0
+        out = call(
+            batch,
+            presence,
+            seed=int(payload.get("seed", 0)),
+            temperature=float(payload.get("temperature", 1.0)),
+        )
+        return {
+            "outputs": {
+                k: np.asarray(v)[:n].tolist() for k, v in out.items()
+            },
+            "n": n,
+        }
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/meta":
+                self._reply(200, meta)
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._reply(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                self._reply(200, run_generate(payload))
+            except Exception as e:  # client errors come back as JSON
+                self._reply(400, {"error": str(e)})
+
+        def log_message(self, fmt, *args):  # quiet default logging
+            pass
+
+    return Handler
+
+
+def main() -> int:
+    from mmvae_tpu.serving import load_generate
+
+    path = sys.argv[1]
+    port = int(sys.argv[2]) if len(sys.argv) > 2 else 8901
+    meta, call = load_generate(path)
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", port), make_handler(meta, call)
+    )
+    print(
+        json.dumps(
+            {"serving": path, "port": port, "config": meta["config"]}
+        ),
+        flush=True,
+    )
+    server.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    import os
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    sys.exit(main())
