@@ -143,7 +143,7 @@ def train(
     }
     state = create_train_state(
         model, init_batch, rng, config.learning_rate,
-        grad_clip=config.grad_clip,
+        grad_clip=config.grad_clip, ema_decay=config.ema_decay,
     )
     start_epoch = 1
     best = float("inf")
@@ -226,7 +226,8 @@ def train(
         meter = AverageMeter()
         meter.update(float(losses.mean()), len(losses) * config.batch_size)
         test_elbo = eval_elbo(
-            config, model=model, params=state.params, dataset=test_ds
+            config, model=model, params=state.eval_params,
+            dataset=test_ds,
         )
         is_best = test_elbo < best
         best = min(best, test_elbo)
@@ -393,9 +394,11 @@ def _load_params(config, model, workdir, which: str = "best"):
     state = create_train_state(
         model, model.dummy_batch(2), jax.random.key(0),
         config.learning_rate, grad_clip=config.grad_clip,
+        ema_decay=getattr(config, "ema_decay", 0.0),
     )
     state, _ = load_checkpoint(workdir, state, which=which)
-    return state.params
+    # EMA weights (when tracked) are the serving/eval weights.
+    return state.eval_params
 
 
 def _postprocess(model, params, recons, z, rng, temperature):

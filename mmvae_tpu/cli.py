@@ -34,7 +34,7 @@ def _overrides(args, config):
     for field in (
         "n_latents", "epochs", "batch_size", "annealing_epochs",
         "log_interval", "train_size", "test_size", "n_random_subsets",
-        "keep_epoch_ckpts",
+        "keep_epoch_ckpts", "ema_decay",
     ):
         v = getattr(args, field, None)
         if v is not None:
@@ -90,6 +90,11 @@ def main(argv=None) -> int:
         "--keep-epoch-ckpts", dest="keep_epoch_ckpts", type=int,
         help="retain the newest N per-epoch checkpoints "
         "(reference save-each-epoch contract; 0 = last/best only)",
+    )
+    pt.add_argument(
+        "--ema-decay", dest="ema_decay", type=float,
+        help="Polyak/EMA shadow of the params (e.g. 0.999); "
+        "eval/sample then use the EMA weights",
     )
     pt.add_argument(
         "--fsdp", dest="fsdp", action="store_true", default=None,

@@ -49,6 +49,8 @@ class ExperimentConfig:
     data_backend: str = "device"  # "device" (HBM-resident gathers) or
     # "grain" (the [B:5] Grain pipeline: host-side shuffle/dropout
     # stream, stacked + shipped to device once per epoch)
+    ema_decay: float = 0.0  # Polyak/EMA shadow of params (0 = off);
+    # eval/sample use the EMA weights when tracked
     fsdp: bool = False  # shard params + Adam moments over the data mesh
     # (ZeRO-3 via GSPMD, parallel/fsdp.py); default off -- these models
     # replicate trivially, the flag is the memory-scaling escape hatch

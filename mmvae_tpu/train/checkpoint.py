@@ -32,7 +32,7 @@ def _to_tree(state: TrainState, extra: dict[str, Any]) -> dict[str, Any]:
     # "extra" has a fixed schema so save/restore templates always match.
     full_extra = {"epoch": 0.0, "best_test_elbo": float("inf")}
     full_extra.update({k: float(v) for k, v in extra.items()})
-    return {
+    tree = {
         "step": state.step,
         "params": state.params,
         "opt_state": state.opt_state,
@@ -40,6 +40,11 @@ def _to_tree(state: TrainState, extra: dict[str, Any]) -> dict[str, Any]:
         "rng_data": jax.random.key_data(state.rng),
         "extra": full_extra,
     }
+    # EMA shadow is schema-consistent per config: a state created with
+    # the same ema_decay produces the same template at restore time.
+    if state.ema_params is not None:
+        tree["ema_params"] = state.ema_params
+    return tree
 
 
 def save_checkpoint(
@@ -121,6 +126,7 @@ def load_checkpoint(
         params=tree["params"],
         opt_state=tree["opt_state"],
         rng=jax.random.wrap_key_data(np.asarray(tree["rng_data"])),
+        ema_params=tree.get("ema_params"),
     )
     return state, dict(tree["extra"] or {})
 

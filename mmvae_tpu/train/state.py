@@ -23,17 +23,35 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     rng: jax.Array
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # Polyak/EMA shadow of params (opt-in, ``ema_decay > 0``): updated
+    # in-program each step, used by eval/sample when present. None keeps
+    # the PyTree (and checkpoint schema) identical to the non-EMA state.
+    ema_params: Any = None
+    ema_decay: float = struct.field(pytree_node=False, default=0.0)
 
     def apply_gradients(self, grads, new_rng):
         updates, new_opt_state = self.tx.update(
             grads, self.opt_state, self.params
         )
+        new_params = optax.apply_updates(self.params, updates)
+        new_ema = self.ema_params
+        if new_ema is not None:
+            d = self.ema_decay
+            new_ema = jax.tree.map(
+                lambda e, p: d * e + (1.0 - d) * p, new_ema, new_params
+            )
         return self.replace(
             step=self.step + 1,
-            params=optax.apply_updates(self.params, updates),
+            params=new_params,
             opt_state=new_opt_state,
             rng=new_rng,
+            ema_params=new_ema,
         )
+
+    @property
+    def eval_params(self):
+        """EMA params when tracked, else the live params."""
+        return self.params if self.ema_params is None else self.ema_params
 
 
 def create_train_state(
@@ -42,12 +60,14 @@ def create_train_state(
     rng,
     learning_rate: float = 1e-3,
     grad_clip: float = 0.0,
+    ema_decay: float = 0.0,
 ) -> TrainState:
     """Initialize params (via a teacher-forced forward) and Adam.
 
     ``grad_clip > 0`` prepends global-norm clipping -- needed for the
     large multi-term configs (CelebA's 24-term loss can spike, see
-    docs/DESIGN.md section 8)."""
+    docs/DESIGN.md section 8). ``ema_decay > 0`` additionally tracks a
+    Polyak/EMA shadow of the params (initialized at the init params)."""
     init_rng, state_rng = jax.random.split(rng)
     variables = model.init(
         init_rng, example_batch, rng=init_rng, sample=True
@@ -62,4 +82,6 @@ def create_train_state(
         opt_state=tx.init(params),
         rng=state_rng,
         tx=tx,
+        ema_params=jax.tree.map(jnp.copy, params) if ema_decay > 0 else None,
+        ema_decay=float(ema_decay),
     )
