@@ -53,6 +53,17 @@ def _save_run_config(workdir: str, config: ExperimentConfig) -> None:
         json.dump(dataclasses.asdict(config), f, indent=2)
 
 
+def _tuplify(obj):
+    """JSON round trip turns tuples into lists; model_kwargs feed flax
+    module fields which must stay hashable (runner memoization keys on
+    the module) -- convert lists back to tuples recursively."""
+    if isinstance(obj, list):
+        return tuple(_tuplify(x) for x in obj)
+    if isinstance(obj, dict):
+        return {k: _tuplify(v) for k, v in obj.items()}
+    return obj
+
+
 def load_run_config(workdir: str) -> ExperimentConfig | None:
     """Config snapshot saved by :func:`train`, or None if absent."""
     import json
@@ -61,7 +72,9 @@ def load_run_config(workdir: str) -> ExperimentConfig | None:
     if not os.path.exists(path):
         return None
     with open(path) as f:
-        return ExperimentConfig(**json.load(f))
+        d = json.load(f)
+    d["model_kwargs"] = _tuplify(d.get("model_kwargs", {}))
+    return ExperimentConfig(**d)
 
 
 def _resolve_with_workdir(config, workdir: str | None) -> ExperimentConfig:

@@ -92,6 +92,12 @@ def main(argv=None) -> int:
         "(reference save-each-epoch contract; 0 = last/best only)",
     )
     pt.add_argument(
+        "--config-file", dest="config_file", default=None,
+        help="JSON dict of config-field overrides applied on top of "
+        "--config (reaches every field incl. model_kwargs; explicit "
+        "flags still win)",
+    )
+    pt.add_argument(
         "--ema-decay", dest="ema_decay", type=float,
         help="Polyak/EMA shadow of the params (e.g. 0.999); "
         "eval/sample then use the EMA weights",
@@ -173,7 +179,19 @@ def main(argv=None) -> int:
         base = api_load_run_config(args.workdir)
         if base is not None and base.name != args.config:
             base = None
-    config = _overrides(args, base or get_config(args.config))
+    config = base or get_config(args.config)
+    if getattr(args, "config_file", None):
+        from mmvae_tpu.api import _tuplify
+
+        with open(args.config_file) as f:
+            overrides = json.load(f)
+        overrides.pop("name", None)  # --config picks the experiment
+        if "model_kwargs" in overrides:
+            overrides["model_kwargs"] = _tuplify(
+                overrides["model_kwargs"]
+            )
+        config = config.replace(**overrides)
+    config = _overrides(args, config)
 
     if args.cmd == "train":
         result = api.train(

@@ -102,3 +102,53 @@ def test_cross_recon_flag_overrides_config():
     args2 = argparse.Namespace(cross_recon=None)
     cfg2 = _overrides(args2, get_config("multimnist"))
     assert cfg2.cross_recon is True  # multimnist default stays on
+
+
+def test_config_file_overrides(tmp_path, capsys):
+    """--config-file reaches every field including model_kwargs (lists
+    become tuples so the flax module stays hashable); explicit flags
+    still win over the file."""
+    import json as json_mod
+
+    cfg_file = tmp_path / "exp.json"
+    cfg_file.write_text(json_mod.dumps({
+        "n_latents": 8,
+        "epochs": 5,
+        "batch_size": 16,
+        "train_size": 32,
+        "test_size": 16,
+        "annealing_epochs": 1,
+        "model_kwargs": {"lambda_label": 5.0},
+    }))
+    wd = str(tmp_path / "run")
+    rc = main([
+        "train", "--config", "mnist", "--workdir", wd,
+        "--config-file", str(cfg_file),
+        "--epochs", "1",  # flag beats file
+        "--no-mesh",
+    ])
+    assert rc == 0
+    saved = json_mod.loads(
+        (tmp_path / "run" / "config.json").read_text()
+    )
+    assert saved["n_latents"] == 8
+    assert saved["epochs"] == 1  # flag won
+    assert saved["model_kwargs"] == {"lambda_label": 5.0}
+
+
+def test_run_config_roundtrip_keeps_tuples(tmp_path):
+    """Workdir config snapshots restore model_kwargs lists as tuples
+    (hashable module -> memoized eval runner)."""
+    import json as json_mod
+
+    from mmvae_tpu import api
+    from mmvae_tpu.configs import get_config
+
+    cfg = get_config("multimnist").replace(
+        model_kwargs={"conv_features": (8, 16), "lambda_text": 5.0}
+    )
+    wd = str(tmp_path)
+    api._save_run_config(wd, cfg)
+    back = api.load_run_config(wd)
+    assert back.model_kwargs["conv_features"] == (8, 16)
+    assert isinstance(back.model_kwargs["conv_features"], tuple)
