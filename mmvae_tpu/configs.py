@@ -71,13 +71,19 @@ CONFIGS: dict[str, ExperimentConfig] = {
         name="fashionmnist", dataset="fashionmnist", n_latents=64,
     ),
     # 3. MultiMNIST -- conv encoder + digit-string sequence decoder [B:9]
-    # Validated settings (80.7% per-token image->digit-string accuracy,
-    # BASELINE.md): deeper conv, stronger text weight, cross-recon terms,
-    # MNIST-scale synthetic train set.
+    # Validated settings (round 2, BASELINE.md: 89.0% per-token / 79.1%
+    # exact-match image->digit-string): 256-latent, 4-stage conv, wider
+    # GRU, cross-recon terms, 100k synthetic train set. (The round-1
+    # 128-latent/3-stage variant scored 79.7%/66.0% -- exact-match was
+    # capacity-limited.)
     "multimnist": ExperimentConfig(
-        name="multimnist", dataset="multimnist", n_latents=128,
-        cross_recon=True, grad_clip=500.0, epochs=40, train_size=50000,
-        model_kwargs={"conv_features": (32, 64, 128), "lambda_text": 30.0},
+        name="multimnist", dataset="multimnist", n_latents=256,
+        cross_recon=True, grad_clip=500.0, epochs=60, train_size=100000,
+        model_kwargs={
+            "conv_features": (32, 64, 128, 256),
+            "lambda_text": 30.0,
+            "text_hidden": 256,
+        },
     ),
     # 4. CelebA image + 18 attrs -- per-attribute experts, k subsets [B:10]
     "celeba": ExperimentConfig(

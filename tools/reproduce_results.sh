@@ -20,8 +20,7 @@ python -m mmvae_tpu.cli train --config fashionmnist \
     --workdir $RUNS/fashionmnist --epochs 60 --cross-recon
 python tools/quality_check.py fashionmnist $RUNS/fashionmnist
 
-python -m mmvae_tpu.cli train --config multimnist --workdir $RUNS/multimnist \
-    --epochs 80
+python -m mmvae_tpu.cli train --config multimnist --workdir $RUNS/multimnist
 python tools/quality_check.py multimnist $RUNS/multimnist
 
 python -m mmvae_tpu.cli train --config celeba --workdir $RUNS/celeba \
