@@ -331,8 +331,9 @@ def main() -> None:
         baseline = cpu_baseline()
         # Reference-comparable point: f32, the reference batch size.
         ref = measure_jax()
-        # Best-achievable point: bf16 compute, large batch (MXU-friendly).
-        best = measure_jax(dtype="bfloat16", batch=2048, steps=16,
+        # Best-achievable point: bf16 compute, large batch (MXU-friendly;
+        # measured plateau -- 1.44M @ 2048, 1.47M @ 4096, 1.46M @ 8192).
+        best = measure_jax(dtype="bfloat16", batch=4096, steps=8,
                            n_epochs=40)
         metric = "mnist_mvae_train_samples_per_sec_per_chip"
     line = {
