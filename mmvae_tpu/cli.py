@@ -34,7 +34,8 @@ def _overrides(args, config):
     for field in (
         "n_latents", "epochs", "batch_size", "annealing_epochs",
         "log_interval", "train_size", "test_size", "n_random_subsets",
-        "keep_epoch_ckpts", "ema_decay",
+        "keep_epoch_ckpts", "ema_decay", "data_dtype",
+        "reshuffle_every",
     ):
         v = getattr(args, field, None)
         if v is not None:
@@ -90,6 +91,18 @@ def main(argv=None) -> int:
         "--keep-epoch-ckpts", dest="keep_epoch_ckpts", type=int,
         help="retain the newest N per-epoch checkpoints "
         "(reference save-each-epoch contract; 0 = last/best only)",
+    )
+    pt.add_argument(
+        "--reshuffle-every", dest="reshuffle_every", type=int,
+        help="true device-side reshuffle every K epochs (rotation in "
+        "between); K>1 amortizes the HBM row-gather",
+    )
+    pt.add_argument(
+        "--data-dtype", dest="data_dtype",
+        choices=["float32", "bfloat16"],
+        help="stacked-batch storage dtype for float modalities "
+        "(bfloat16 halves the per-step HBM batch read; train data "
+        "only, eval stays f32)",
     )
     pt.add_argument(
         "--config-file", dest="config_file", default=None,

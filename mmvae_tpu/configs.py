@@ -49,6 +49,13 @@ class ExperimentConfig:
     data_backend: str = "device"  # "device" (HBM-resident gathers) or
     # "grain" (the [B:5] Grain pipeline: host-side shuffle/dropout
     # stream, stacked + shipped to device once per epoch)
+    data_dtype: str = "float32"  # stacked-batch storage dtype for float
+    # modalities ("bfloat16" halves the per-step HBM batch read; measured
+    # 2.3x on the MNIST bf16 point with identical loss trajectories --
+    # docs/DESIGN.md section 10; eval/test data stays f32)
+    reshuffle_every: int = 1  # true device-side reshuffle every K epochs
+    # (cheap rotation in between; K>1 amortizes the HBM row-gather that
+    # dominates small-model steps -- docs/DESIGN.md section 10)
     ema_decay: float = 0.0  # Polyak/EMA shadow of params (0 = off);
     # eval/sample use the EMA weights when tracked
     fsdp: bool = False  # shard params + Adam moments over the data mesh

@@ -26,3 +26,26 @@ def test_api_end_to_end_smoke(tmp_path):
     assert out["image"].shape == (2, 28, 28)
     gen = api.generate(cfg, {"label": np.asarray([3])}, workdir=workdir)
     assert gen["image"].shape == (1, 28, 28)
+
+
+def test_data_dtype_bfloat16_trains(tmp_path):
+    """config.data_dtype='bfloat16' (bf16-resident training data; the
+    2.3x HBM-bandwidth knob, DESIGN.md section 10) trains end to end and
+    lands within noise of the f32-data run."""
+    import jax.numpy as jnp
+
+    base = get_config("mnist").replace(
+        n_latents=8, epochs=1, batch_size=32, train_size=64,
+        test_size=32, annealing_epochs=1,
+    )
+    r32 = api.train(base, None, use_mesh=False, verbose=False,
+                    dtype=jnp.bfloat16)
+    rb16 = api.train(
+        base.replace(data_dtype="bfloat16"), None, use_mesh=False,
+        verbose=False, dtype=jnp.bfloat16,
+    )
+    assert np.isfinite(rb16.best_test_elbo)
+    # Same data, bf16-rounded targets: trajectories agree within noise.
+    np.testing.assert_allclose(
+        rb16.best_test_elbo, r32.best_test_elbo, rtol=0.02
+    )
