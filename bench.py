@@ -294,16 +294,20 @@ def celeba_cpu_baseline() -> float:
 
 
 def measure_jax_celeba(
-    batch: int = 64, steps: int = 50, dtype: str = "float32"
+    batch: int = 64, steps: int = 50, dtype: str = "float32",
+    data_dtype: str = "float32", reshuffle_every: int = 1,
 ) -> dict:
     import numpy as np
 
     import jax
     import jax.numpy as jnp
 
-    from mmvae_tpu.data import load_dataset, stacked_epoch
+    from mmvae_tpu.data import load_dataset
     from mmvae_tpu.models import CelebAMVAE
-    from mmvae_tpu.train import create_train_state, make_epoch_runner
+    from mmvae_tpu.train import (
+        create_train_state,
+        make_gather_epoch_runner,
+    )
 
     model = CelebAMVAE(
         n_latents=100,
@@ -316,33 +320,27 @@ def measure_jax_celeba(
         jax.random.key(0),
         1e-3,
     )
-    runner = make_epoch_runner(
-        model, n_random_subsets=4, annealing_steps=1000
+    # Same in-program shuffle+gather path api.train uses.
+    runner = make_gather_epoch_runner(
+        model, steps, batch, n_random_subsets=4, annealing_steps=1000,
+        reshuffle_every=reshuffle_every,
     )
-    rng = np.random.default_rng(0)
+    arrays = ds.arrays
     if data_dtype == "bfloat16":
-        # Store float modalities bf16 (the api.train data_dtype knob):
-        # halves the per-step HBM batch read -- measured 2.3x here.
-        from mmvae_tpu.data.pipelines import Dataset as _DS
-
-        ds = _DS(
-            arrays={
-                k: (v.astype(jnp.bfloat16) if v.dtype == jnp.float32
-                    else v)
-                for k, v in ds.arrays.items()
-            },
-            size=ds.size,
-        )
-    batches = stacked_epoch(ds, batch, rng)
-    flops_per_step = _program_flops(runner, state, batches)
+        arrays = {
+            k: (v.astype(jnp.bfloat16) if v.dtype == jnp.float32
+                else v)
+            for k, v in arrays.items()
+        }
+    flops_per_step = _program_flops(runner, state, arrays)
     if flops_per_step is None:
         flops_per_step = _flops_via_cpu("celeba", batch, steps, dtype)
-    state, ms = runner(state, batches)
+    state, arrays, ms = runner(state, arrays)
     float(np.asarray(ms["loss"]).sum())
     n_epochs = 10
     t0 = time.perf_counter()
     for _ in range(n_epochs):
-        state, ms = runner(state, stacked_epoch(ds, batch, rng))
+        state, arrays, ms = runner(state, arrays)
     float(np.asarray(ms["loss"]).sum())
     dt = time.perf_counter() - t0
     n_chips = max(1, len(jax.devices()))
@@ -363,9 +361,10 @@ def main() -> None:
         baseline = celeba_cpu_baseline()
         ref = measure_jax_celeba()
         metric = "celeba_mvae_train_samples_per_sec_per_chip"
-        # CelebA is compute-bound at f32 (~76% MFU measured); bf16 is
-        # the best-achievable point (4x the MXU peak).
-        best = measure_jax_celeba(dtype="bfloat16", batch=256)
+        # CelebA is compute-bound at f32 (~84% MFU measured); bf16 +
+        # bf16-resident data is the best-achievable point.
+        best = measure_jax_celeba(dtype="bfloat16", batch=256,
+                                  data_dtype="bfloat16")
     else:
         baseline = cpu_baseline()
         # Reference-comparable point: f32, the reference batch size.

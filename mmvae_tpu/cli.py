@@ -167,8 +167,11 @@ def main(argv=None) -> int:
     )
     _add_common(px)
     px.add_argument("--out", required=True, help="artifact path")
-    px.add_argument("--batch-size-export", dest="batch_size_export",
-                    type=int, default=8)
+    px.add_argument(
+        "--batch-size-export", dest="batch_size_export", default="8",
+        help="static batch size of the artifact, or 'dynamic' for a "
+        "batch-polymorphic export (one artifact, any request size)",
+    )
     px.add_argument("--sample-z", action="store_true")
     px.add_argument("--n-latents", dest="n_latents", type=int)
     px.add_argument(

@@ -84,7 +84,7 @@ def export_generate(
     config,
     out_path: str,
     *,
-    batch_size: int = 8,
+    batch_size: int | str = 8,
     workdir: str | None = None,
     params=None,
     model=None,
@@ -96,8 +96,13 @@ def export_generate(
 
     Params come from ``workdir``'s best checkpoint (or pass ``params``
     directly). ``dtype`` is the experts' compute dtype (bf16 halves the
-    artifact's compute cost on TPU; params stay f32). Returns
-    ``out_path``.
+    artifact's compute cost on TPU; params stay f32).
+
+    ``batch_size`` may be the string ``"dynamic"``: the batch dimension
+    is exported SYMBOLIC (``jax.export`` shape polymorphism), so one
+    artifact serves any request size with no padding — the recurrent
+    text decode and every static-shape constraint still hold because
+    only the leading dim varies. Returns ``out_path``.
     """
     from jax import export as jexport
 
@@ -113,31 +118,52 @@ def export_generate(
         params = api._load_params(config, model, workdir)
 
     fn = make_generate_fn(model, params, sample_z=sample_z)
-    batch = model.dummy_batch(batch_size)
+    n_mod = model.n_modalities
+    dynamic = batch_size == "dynamic"
+    concrete = 2 if dynamic else int(batch_size)
+    batch = model.dummy_batch(concrete)
     batch_spec = {
         k: jax.ShapeDtypeStruct(np.asarray(v).shape, np.asarray(v).dtype)
         for k, v in batch.items()
     }
-    n_mod = model.n_modalities
-    presence_spec = jax.ShapeDtypeStruct(
-        (batch_size, n_mod), np.float32
-    )
-    exported = jexport.export(jax.jit(fn), platforms=platforms)(
+    presence_spec = jax.ShapeDtypeStruct((concrete, n_mod), np.float32)
+    args = (
         batch_spec,
         presence_spec,
         jax.ShapeDtypeStruct((), np.int32),
         jax.ShapeDtypeStruct((), np.float32),
     )
+    if dynamic:
+        # Symbolic leading dim: "b" + static trailing dims per array.
+        def spec_str(v):
+            return ", ".join(["b"] + ["_"] * (len(v.shape) - 1))
+
+        args = jexport.symbolic_args_specs(
+            args,
+            (
+                {k: spec_str(v) for k, v in batch_spec.items()},
+                "b, _",
+                None,
+                None,
+            ),
+        )
+    exported = jexport.export(jax.jit(fn), platforms=platforms)(*args)
     blob = exported.serialize()
     header = json.dumps(
         {
             "config": config.name,
-            "batch_size": batch_size,
+            "batch_size": "dynamic" if dynamic else int(batch_size),
             "sample_z": sample_z,
             "platforms": list(platforms),
             "modalities": [s.name for s in model.specs()],
+            # For dynamic artifacts the leading dim is reported as None.
             "batch_shapes": {
-                k: [list(v.shape), str(v.dtype)]
+                k: [
+                    ([None] + list(v.shape[1:]))
+                    if dynamic
+                    else list(v.shape),
+                    str(v.dtype),
+                ]
                 for k, v in batch_spec.items()
             },
         }

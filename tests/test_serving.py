@@ -206,3 +206,52 @@ def test_http_serving_host(model_and_params, tmp_path):
             assert "unknown modalities" in json_mod.loads(e.read())["error"]
     finally:
         server.shutdown()
+
+
+def test_dynamic_batch_export(model_and_params, tmp_path):
+    """batch_size='dynamic' exports a batch-polymorphic artifact: one
+    file serves any request size (jax.export shape polymorphism)."""
+    config, model, params = model_and_params
+    path = str(tmp_path / "dyn.mmvaexp")
+    serving.export_generate(
+        config, path, batch_size="dynamic", params=params, model=model,
+        platforms=("cpu",),
+    )
+    meta, call = serving.load_generate(path)
+    assert meta["batch_size"] == "dynamic"
+    assert meta["batch_shapes"]["image"][0] == [None, 28, 28]
+    for n in (1, 5):
+        batch = {
+            k: np.asarray(v) for k, v in model.dummy_batch(n).items()
+        }
+        out = call(batch, np.zeros((n, 2), np.float32), seed=0)
+        assert np.asarray(out["image"]).shape == (n, 28, 28)
+
+    # The HTTP host runs dynamic artifacts at the request size.
+    import json as json_mod
+    import threading
+    import urllib.request
+    import sys
+
+    sys.path.insert(0, "tools")
+    import serve as serve_mod
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), serve_mod.make_handler(meta, call)
+    )
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json_mod.dumps(
+                {"condition": {"label": [1, 2, 3]}}
+            ).encode(),
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json_mod.loads(r.read())
+        assert out["n"] == 3
+        assert np.asarray(out["outputs"]["image"]).shape == (3, 28, 28)
+    finally:
+        server.shutdown()

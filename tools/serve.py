@@ -30,7 +30,8 @@ import numpy as np
 
 
 def make_handler(meta, call):
-    batch_size = int(meta["batch_size"])
+    dynamic = meta["batch_size"] == "dynamic"
+    batch_size = None if dynamic else int(meta["batch_size"])
     modalities = list(meta["modalities"])
     shapes = {
         k: (tuple(v[0]), np.dtype(v[1]))
@@ -44,18 +45,22 @@ def make_handler(meta, call):
             raise ValueError(
                 f"unknown modalities {sorted(unknown)}; have {modalities}"
             )
-        n = batch_size
+        n = batch_size or 1
         for v in cond.values():
-            n = min(batch_size, len(v))
+            n = len(v) if dynamic else min(batch_size, len(v))
             break
+        # Dynamic artifacts run at the request size (no padding);
+        # fixed-size artifacts pad to their static batch.
+        alloc = n if dynamic else batch_size
         batch = {
-            k: np.zeros(shp, dt) for k, (shp, dt) in shapes.items()
+            k: np.zeros((alloc,) + shp[1:], dt)
+            for k, (shp, dt) in shapes.items()
         }
-        presence = np.zeros((batch_size, len(modalities)), np.float32)
+        presence = np.zeros((alloc, len(modalities)), np.float32)
         idx = {m: i for i, m in enumerate(modalities)}
         for key, value in cond.items():
             arr = np.asarray(value, shapes[key][1])
-            batch[key][: len(arr)] = arr[:batch_size]
+            batch[key][: len(arr)] = arr[:alloc]
             if key in idx:
                 presence[: len(arr), idx[key]] = 1.0
         out = call(
