@@ -152,3 +152,23 @@ def test_run_config_roundtrip_keeps_tuples(tmp_path):
     back = api.load_run_config(wd)
     assert back.model_kwargs["conv_features"] == (8, 16)
     assert isinstance(back.model_kwargs["conv_features"], tuple)
+
+
+def test_perf_flags_reach_config(tmp_path):
+    """--data-dtype / --reshuffle-every / --ema-decay land in the run's
+    config snapshot (and therefore drive the train path)."""
+    import json as json_mod
+
+    wd = str(tmp_path / "run")
+    rc = main([
+        "train", "--config", "mnist", "--workdir", wd,
+        "--epochs", "1", "--train-size", "64", "--test-size", "32",
+        "--n-latents", "8", "--batch-size", "16", "--no-mesh",
+        "--data-dtype", "bfloat16", "--reshuffle-every", "4",
+        "--ema-decay", "0.9",
+    ])
+    assert rc == 0
+    saved = json_mod.loads((tmp_path / "run" / "config.json").read_text())
+    assert saved["data_dtype"] == "bfloat16"
+    assert saved["reshuffle_every"] == 4
+    assert saved["ema_decay"] == 0.9
