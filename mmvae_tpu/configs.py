@@ -98,8 +98,12 @@ CONFIGS: dict[str, ExperimentConfig] = {
         batch_size=64, n_random_subsets=4, grad_clip=500.0,
     ),
     # 5. CUB images + captions -- conv + text experts, largest [B:11]
+    # Validated settings (round 2, BASELINE.md: 99.9% per-token / 98.8%
+    # exact-match captions vs 96.4%/52.3% at 128 latents without
+    # cross-recon -- caption exact-match was capacity-limited too).
     "cub": ExperimentConfig(
-        name="cub", dataset="cub", n_latents=128, batch_size=64,
+        name="cub", dataset="cub", n_latents=256, batch_size=64,
+        cross_recon=True, epochs=60, train_size=16000,
     ),
 }
 

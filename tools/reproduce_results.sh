@@ -27,8 +27,7 @@ python -m mmvae_tpu.cli train --config celeba --workdir $RUNS/celeba \
     --epochs 40 --cross-recon
 python tools/quality_check.py celeba $RUNS/celeba
 
-python -m mmvae_tpu.cli train --config cub --workdir $RUNS/cub \
-    --epochs 40 --train-size 8000
+python -m mmvae_tpu.cli train --config cub --workdir $RUNS/cub
 python tools/quality_check.py cub $RUNS/cub
 
 python bench.py
