@@ -147,25 +147,24 @@ def train(
 
     train_ds = load_dataset(config.dataset, "train", n=config.train_size)
     test_ds = load_dataset(config.dataset, "test", n=config.test_size)
-    if config.data_dtype == "bfloat16" and config.data_backend == "device":
-        # Store the device-resident float modalities in bf16 ONCE: every
-        # epoch's stacked gather and every step's batch slice then read
-        # half the HBM bytes (measured 2.3x on the MNIST bf16 point,
-        # loss trajectories identical -- docs/DESIGN.md section 10).
-        # Eval data stays f32: the parity metric is untouched.
-        from mmvae_tpu.data.pipelines import Dataset as _DS
+    if config.data_dtype == "bfloat16":
+        if config.data_backend == "device":
+            # Store the device-resident float modalities in bf16 ONCE:
+            # every epoch's gather and every step's batch read then move
+            # half the HBM bytes (measured 2.3x on the MNIST bf16 point,
+            # loss trajectories identical -- docs/DESIGN.md section 10).
+            # Eval data stays f32: the parity metric is untouched.
+            from mmvae_tpu.data import dataset_astype
 
-        train_ds = _DS(
-            arrays={
-                k: (
-                    v.astype(jnp.bfloat16)
-                    if v.dtype == jnp.float32
-                    else v
-                )
-                for k, v in train_ds.arrays.items()
-            },
-            size=train_ds.size,
-        )
+            train_ds = dataset_astype(train_ds, jnp.bfloat16)
+        else:
+            import warnings
+
+            warnings.warn(
+                "data_dtype='bfloat16' only applies to the device data "
+                "backend; the grain path keeps f32 host batches",
+                stacklevel=2,
+            )
     steps_per_epoch = train_ds.size // config.batch_size
     annealing_steps = config.annealing_epochs * steps_per_epoch
 
@@ -211,6 +210,14 @@ def train(
     in_program_gather = (
         mesh is None and config.data_backend == "device"
     )
+    if config.reshuffle_every > 1 and not in_program_gather:
+        import warnings
+
+        warnings.warn(
+            "reshuffle_every>1 only applies to the single-device "
+            "in-program gather path; this run shuffles every epoch",
+            stacklevel=2,
+        )
     if in_program_gather:
         from mmvae_tpu.train import make_gather_epoch_runner
 
@@ -243,8 +250,13 @@ def train(
         if in_program_gather:
             # Shuffle + gather run inside the program (state.rng seeds
             # the order): one dispatch, zero host bytes per epoch. The
-            # arrays are donated and persist shuffled across epochs.
-            state, train_arrays, ms = runner(state, train_arrays)
+            # arrays are donated and persist shuffled across epochs;
+            # the first epoch of this process forces a true shuffle
+            # (fresh arrays are in raw load order -- matters on resume
+            # with reshuffle_every>1).
+            state, train_arrays, ms = runner(
+                state, train_arrays, epoch == start_epoch
+            )
         elif config.data_backend == "grain":
             batches = _grain_epoch(
                 train_ds, config, model, seed * 100003 + epoch,

@@ -12,6 +12,7 @@ from mmvae_tpu.data.pipelines import (
     load_dataset,
     epoch_batches,
     stacked_epoch,
+    dataset_astype,
     stacked_epoch_padded,
     sample_presence,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "load_dataset",
     "epoch_batches",
     "stacked_epoch",
+    "dataset_astype",
     "stacked_epoch_padded",
     "sample_presence",
     "Vocab",

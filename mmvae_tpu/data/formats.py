@@ -211,7 +211,7 @@ def cub_data_vocab(dirpath: str, max_words: int = 2000):
 
     from mmvae_tpu.data.vocab import Vocab
 
-    key = os.path.abspath(dirpath)
+    key = (os.path.abspath(dirpath), max_words)
     if key in _VOCAB_CACHE:
         return _VOCAB_CACHE[key]
     vpath = os.path.join(dirpath, "vocab.json")

@@ -15,6 +15,7 @@ import shutil
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -119,14 +120,31 @@ def load_checkpoint(
     if not os.path.exists(path) and which == "best":
         path = os.path.join(ckpt_dir, "last")
     template = _to_tree(template_state, {})
+    # The checkpoint may disagree with the template about the EMA
+    # shadow (saved without EMA, resumed with --ema-decay, or vice
+    # versa). Retry with the toggled template and adapt below.
+    alt = dict(template)
+    if "ema_params" in alt:
+        del alt["ema_params"]
+    else:
+        alt["ema_params"] = template["params"]
     with ocp.StandardCheckpointer() as ckptr:
-        tree = ckptr.restore(path, template)
+        try:
+            tree = ckptr.restore(path, template)
+        except Exception:
+            tree = ckptr.restore(path, alt)
+    ema = tree.get("ema_params")
+    if template_state.ema_params is not None and ema is None:
+        # EMA newly enabled: the shadow starts at the restored params.
+        ema = jax.tree.map(jnp.copy, tree["params"])
+    elif template_state.ema_params is None:
+        ema = None  # EMA disabled: drop the saved shadow
     state = template_state.replace(
         step=tree["step"],
         params=tree["params"],
         opt_state=tree["opt_state"],
         rng=jax.random.wrap_key_data(np.asarray(tree["rng_data"])),
-        ema_params=tree.get("ema_params"),
+        ema_params=ema,
     )
     return state, dict(tree["extra"] or {})
 

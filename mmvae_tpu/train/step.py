@@ -335,7 +335,7 @@ def make_gather_epoch_runner(
     n_used = n_steps * batch_size
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def run_epoch(state, arrays):
+    def run_epoch(state, arrays, force_shuffle=False):
         shuffle_rng, roll_rng, rng = jax.random.split(state.rng, 3)
         state = state.replace(rng=rng)
         size = jax.tree.leaves(arrays)[0].shape[0]
@@ -353,10 +353,17 @@ def make_gather_epoch_runner(
             # shuffled, persisted) arrays by a random offset: batch
             # composition still changes every epoch, but the data
             # movement is a streaming roll, not a row-gather.
+            # ``force_shuffle`` (the caller's first epoch in this
+            # process -- fresh start OR resume) forces a true shuffle:
+            # the freshly loaded arrays are in raw load order, and
+            # rolling unshuffled data would feed correlated batches.
             epoch_i = state.step // jnp.int32(max(n_steps, 1))
             offset = jax.random.randint(roll_rng, (), 1, size)
             arrays = jax.lax.cond(
-                (epoch_i % reshuffle_every) == 0,
+                jnp.logical_or(
+                    (epoch_i % reshuffle_every) == 0,
+                    jnp.asarray(force_shuffle),
+                ),
                 reshuffled,
                 lambda ars: jax.tree.map(
                     lambda v: jnp.roll(v, offset, axis=0), ars

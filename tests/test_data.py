@@ -342,3 +342,29 @@ def test_grain_empty_epoch_raises():
     model = MnistMVAE(n_latents=8)
     with pytest.raises(ValueError, match="no batches"):
         api._grain_epoch(ds, config, model, seed=0)
+
+
+def test_cub_vocab_cache_keyed_on_max_words(tmp_path):
+    """cub_data_vocab's memo must key on max_words too -- a smaller
+    vocabulary request must not return the cached larger one."""
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    d = tmp_path / "cub"
+    (d / "images" / "001.A").mkdir(parents=True)
+    (d / "text_c10" / "001.A").mkdir(parents=True)
+    rng = np.random.default_rng(4)
+    caps = ["a b c d e", "f g h i j", "k l m n o"]
+    for j in range(3):
+        img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(d / "images" / "001.A" / f"i{j}.jpg")
+        (d / "text_c10" / "001.A" / f"i{j}.txt").write_text(caps[j])
+
+    from mmvae_tpu.data import formats
+
+    formats._VOCAB_CACHE.clear()
+    big = formats.cub_data_vocab(str(d))
+    (d / "vocab.json").unlink()  # force a rebuild for the small request
+    small = formats.cub_data_vocab(str(d), max_words=4)
+    assert len(big) > len(small)
+    formats._VOCAB_CACHE.clear()

@@ -101,3 +101,46 @@ def test_ema_via_api(tmp_path, setup):
     want = jax.tree.leaves(result.state.ema_params)
     for a, b in zip(jax.tree.leaves(got), want):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ema_toggle_across_checkpoints(setup, tmp_path):
+    """Checkpoints restore across an ema_decay toggle: enabling EMA on
+    resume seeds the shadow from the restored params; disabling drops
+    the saved shadow (review finding: the conditional tree key used to
+    crash the Orbax template match)."""
+    from mmvae_tpu.train.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    model, batch = setup
+
+    # Saved WITHOUT ema, restored WITH ema.
+    s0 = create_train_state(model, batch, jax.random.key(0), 1e-3)
+    step = make_train_step(model, annealing_steps=5)
+    s0, _ = step(s0, batch)
+    save_checkpoint(str(tmp_path / "a"), s0, epoch=1)
+    tmpl = create_train_state(
+        model, batch, jax.random.key(1), 1e-3, ema_decay=0.9
+    )
+    restored, _ = load_checkpoint(str(tmp_path / "a"), tmpl, "last")
+    assert restored.ema_params is not None
+    for a, b in zip(
+        jax.tree.leaves(restored.ema_params),
+        jax.tree.leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Saved WITH ema, restored WITHOUT.
+    s1 = create_train_state(
+        model, batch, jax.random.key(0), 1e-3, ema_decay=0.9
+    )
+    s1, _ = make_train_step(model, annealing_steps=5)(s1, batch)
+    save_checkpoint(str(tmp_path / "b"), s1, epoch=1)
+    tmpl2 = create_train_state(model, batch, jax.random.key(1), 1e-3)
+    restored2, _ = load_checkpoint(str(tmp_path / "b"), tmpl2, "last")
+    assert restored2.ema_params is None
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored2.params)[0]),
+        np.asarray(jax.tree.leaves(s1.params)[0]),
+    )

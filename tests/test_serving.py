@@ -255,3 +255,57 @@ def test_dynamic_batch_export(model_and_params, tmp_path):
         assert np.asarray(out["outputs"]["image"]).shape == (3, 28, 28)
     finally:
         server.shutdown()
+
+
+def test_serve_host_request_validation(model_and_params, tmp_path):
+    """The HTTP host rejects inconsistent and oversize requests with
+    clear 400s instead of silently truncating (review finding)."""
+    import json as json_mod
+    import sys
+    import threading
+    import urllib.error
+    import urllib.request
+
+    config, model, params = model_and_params
+    path = str(tmp_path / "val.mmvaexp")
+    serving.export_generate(
+        config, path, batch_size=4, params=params, model=model,
+        platforms=("cpu",),
+    )
+    sys.path.insert(0, "tools")
+    import serve as serve_mod
+    from http.server import ThreadingHTTPServer
+
+    meta, call = serving.load_generate(path)
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), serve_mod.make_handler(meta, call)
+    )
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def post(payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json_mod.dumps(payload).encode(),
+        )
+        return urllib.request.urlopen(req, timeout=60)
+
+    try:
+        # Modalities disagreeing on batch size -> 400, not truncation.
+        try:
+            post({"condition": {"label": [1, 2],
+                                "image": np.zeros((3, 28, 28)).tolist()}})
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "disagree" in json_mod.loads(e.read())["error"]
+        # Oversize request against a fixed-batch artifact -> 400 with a
+        # pointer at the dynamic export.
+        try:
+            post({"condition": {"label": [1, 2, 3, 4, 5]}})
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "dynamic" in json_mod.loads(e.read())["error"]
+    finally:
+        server.shutdown()

@@ -314,3 +314,43 @@ def test_gather_runner_reshuffle_every():
             np.sort(np.asarray(arrays["label"])), ref_labels
         )
     assert losses.mean() < first
+
+
+def test_gather_runner_force_shuffle_on_resume():
+    """force_shuffle=True (first epoch of a process) must truly shuffle
+    even mid reshuffle_every window -- a resumed run reloads arrays in
+    raw order and a bare roll would feed correlated batches."""
+    import numpy as np
+
+    from mmvae_tpu.data import load_dataset
+    from mmvae_tpu.models import MnistMVAE
+    from mmvae_tpu.train import (
+        create_train_state,
+        make_gather_epoch_runner,
+    )
+
+    model = MnistMVAE(n_latents=8)
+    ds = load_dataset("mnist", n=64, seed=0)
+    state = create_train_state(
+        model, {k: v[:16] for k, v in ds.arrays.items()},
+        jax.random.key(0), 1e-3,
+    )
+    # Pretend we resumed mid-window: step=4 -> epoch_i=1, 1 % 3 != 0.
+    state = state.replace(step=jnp.asarray(4, jnp.int32))
+    runner = make_gather_epoch_runner(
+        model, 4, 16, annealing_steps=10, reshuffle_every=3
+    )
+    labels_in = np.asarray(ds.arrays["label"])
+
+    def is_roll(labels_out):
+        for off in range(len(labels_in)):
+            if np.array_equal(np.roll(labels_in, off), labels_out):
+                return True
+        return False
+
+    _s, arrays, _ms = runner(
+        state, jax.tree.map(jnp.copy, dict(ds.arrays)), True
+    )
+    out = np.asarray(arrays["label"])
+    np.testing.assert_array_equal(np.sort(out), np.sort(labels_in))
+    assert not is_roll(out), "force_shuffle produced a bare rotation"

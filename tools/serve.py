@@ -45,10 +45,18 @@ def make_handler(meta, call):
             raise ValueError(
                 f"unknown modalities {sorted(unknown)}; have {modalities}"
             )
-        n = batch_size or 1
-        for v in cond.values():
-            n = len(v) if dynamic else min(batch_size, len(v))
-            break
+        lengths = {k: len(v) for k, v in cond.items()}
+        if len(set(lengths.values())) > 1:
+            raise ValueError(
+                f"condition modalities disagree on batch size: {lengths}"
+            )
+        n = next(iter(lengths.values()), batch_size or 1)
+        if not dynamic and n > batch_size:
+            raise ValueError(
+                f"request batch {n} exceeds the artifact's static "
+                f"batch size {batch_size} (export with "
+                f"--batch-size-export dynamic for arbitrary sizes)"
+            )
         # Dynamic artifacts run at the request size (no padding);
         # fixed-size artifacts pad to their static batch.
         alloc = n if dynamic else batch_size
@@ -60,7 +68,7 @@ def make_handler(meta, call):
         idx = {m: i for i, m in enumerate(modalities)}
         for key, value in cond.items():
             arr = np.asarray(value, shapes[key][1])
-            batch[key][: len(arr)] = arr[:alloc]
+            batch[key][: len(arr)] = arr
             if key in idx:
                 presence[: len(arr), idx[key]] = 1.0
         out = call(
@@ -99,8 +107,15 @@ def make_handler(meta, call):
                 length = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(length) or b"{}")
                 self._reply(200, run_generate(payload))
-            except Exception as e:  # client errors come back as JSON
+            except (ValueError, KeyError, TypeError) as e:
+                # Malformed request (bad JSON, unknown modality,
+                # inconsistent batch) -> client error.
                 self._reply(400, {"error": str(e)})
+            except Exception as e:
+                # Anything else (backend failure, OOM, wrong platform
+                # for the artifact) is a SERVER error -- don't tell the
+                # client their request was bad.
+                self._reply(500, {"error": str(e)})
 
         def log_message(self, fmt, *args):  # quiet default logging
             pass
