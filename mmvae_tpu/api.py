@@ -173,7 +173,7 @@ def train(
         k: v[: config.batch_size] for k, v in train_ds.arrays.items()
     }
     state = create_train_state(
-        model, init_batch, rng, config.learning_rate,
+        model, init_batch, rng, _learning_rate(config),
         grad_clip=config.grad_clip, ema_decay=config.ema_decay,
     )
     start_epoch = 1
@@ -459,10 +459,37 @@ def _eval_runner(model):
         return make_eval_runner(model)
 
 
+def _learning_rate(config):
+    """Learning rate (float) or optax schedule for ``config``.
+
+    A schedule changes the Adam state's pytree (ScaleByScheduleState),
+    so every TrainState built for the same config -- training, resume
+    templates, checkpoint loads -- must use this one builder.
+    """
+    if getattr(config, "lr_schedule", "constant") == "constant":
+        return config.learning_rate
+    if config.lr_schedule == "cosine":
+        # Linear warmup -> cosine decay to 0 over the full run; the
+        # opt-state step counter makes resume continue the schedule.
+        import optax
+
+        steps_per_epoch = max(1, config.train_size // config.batch_size)
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=config.learning_rate,
+            warmup_steps=max(1, config.warmup_epochs * steps_per_epoch),
+            decay_steps=max(1, config.epochs * steps_per_epoch),
+        )
+    raise ValueError(
+        f"unknown lr_schedule {config.lr_schedule!r} "
+        "(have: constant, cosine)"
+    )
+
+
 def _load_params(config, model, workdir, which: str = "best"):
     state = create_train_state(
         model, model.dummy_batch(2), jax.random.key(0),
-        config.learning_rate, grad_clip=config.grad_clip,
+        _learning_rate(config), grad_clip=config.grad_clip,
         ema_decay=getattr(config, "ema_decay", 0.0),
     )
     state, _ = load_checkpoint(workdir, state, which=which)

@@ -35,7 +35,7 @@ def _overrides(args, config):
         "n_latents", "epochs", "batch_size", "annealing_epochs",
         "log_interval", "train_size", "test_size", "n_random_subsets",
         "keep_epoch_ckpts", "ema_decay", "data_dtype",
-        "reshuffle_every",
+        "reshuffle_every", "warmup_epochs", "lr_schedule",
     ):
         v = getattr(args, field, None)
         if v is not None:
@@ -91,6 +91,15 @@ def main(argv=None) -> int:
         "--keep-epoch-ckpts", dest="keep_epoch_ckpts", type=int,
         help="retain the newest N per-epoch checkpoints "
         "(reference save-each-epoch contract; 0 = last/best only)",
+    )
+    pt.add_argument(
+        "--lr-schedule", dest="lr_schedule",
+        choices=["constant", "cosine"],
+        help="constant (reference semantics) or warmup->cosine decay",
+    )
+    pt.add_argument(
+        "--warmup-epochs", dest="warmup_epochs", type=int,
+        help="linear LR warmup epochs (cosine schedule)",
     )
     pt.add_argument(
         "--reshuffle-every", dest="reshuffle_every", type=int,

@@ -53,6 +53,10 @@ class ExperimentConfig:
     # modalities ("bfloat16" halves the per-step HBM batch read; measured
     # 2.3x on the MNIST bf16 point with identical loss trajectories --
     # docs/DESIGN.md section 10; eval/test data stays f32)
+    lr_schedule: str = "constant"  # "constant" (reference semantics) or
+    # "cosine" (linear warmup over warmup_epochs -> cosine decay to 0
+    # across the full run; optax schedule fed straight to Adam)
+    warmup_epochs: int = 0  # linear LR warmup epochs (cosine schedule)
     reshuffle_every: int = 1  # true device-side reshuffle every K epochs
     # (cheap rotation in between; K>1 amortizes the HBM row-gather that
     # dominates small-model steps -- docs/DESIGN.md section 10)

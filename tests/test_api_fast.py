@@ -49,3 +49,29 @@ def test_data_dtype_bfloat16_trains(tmp_path):
     np.testing.assert_allclose(
         rb16.best_test_elbo, r32.best_test_elbo, rtol=0.02
     )
+
+
+def test_cosine_lr_schedule_trains_and_reloads(tmp_path):
+    """lr_schedule='cosine': trains, the schedule actually decays, and
+    the checkpoint reloads (the schedule changes the Adam pytree, so
+    load must rebuild the same transform)."""
+    from mmvae_tpu.api import _learning_rate
+
+    cfg = get_config("mnist").replace(
+        n_latents=8, epochs=2, batch_size=16, train_size=64,
+        test_size=32, annealing_epochs=1,
+        lr_schedule="cosine", warmup_epochs=1,
+    )
+    sched = _learning_rate(cfg)
+    steps = cfg.train_size // cfg.batch_size
+    assert float(sched(0)) < float(sched(steps))  # warming up
+    assert float(sched(cfg.epochs * steps)) < float(sched(steps))  # decayed
+
+    wd = str(tmp_path)
+    result = api.train(cfg, wd, use_mesh=False, verbose=False)
+    assert np.isfinite(result.best_test_elbo)
+    # Reload through the checkpoint path (same opt pytree required).
+    elbo = api.eval_elbo(cfg, workdir=wd)
+    assert np.isfinite(elbo)
+    out = api.sample(cfg, n=2, workdir=wd)
+    assert out["image"].shape == (2, 28, 28)
