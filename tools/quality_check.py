@@ -86,19 +86,33 @@ def check_text_config(config, model, params, workdir: str, name: str) -> dict:
     )
     per_token = float((gen[pad_mask] == texts[pad_mask]).mean())
 
-    # text -> image grid for visual inspection.
+    # text -> image -> text round trip: generate images from the
+    # captions alone, re-encode the generated image alone, greedy-decode
+    # the caption back.
     img_out = api.generate(
-        config, {"text": texts[:64]}, model=model, params=params,
+        config, {"text": texts[:256]}, model=model, params=params,
         sample_z=True, seed=1,
     )
+    back = api.generate(
+        config, {"image": np.asarray(img_out["image"])},
+        model=model, params=params, temperature=0.0,
+    )
+    rt = np.asarray(back["text"])
+    rt_mask = texts[:256] != 0
+    rt_exact = float(
+        (np.where(rt_mask, rt == texts[:256], True)).all(axis=1).mean()
+    )
+    rt_token = float((rt[rt_mask] == texts[:256][rt_mask]).mean())
     save_image_grid(
-        np.asarray(img_out["image"]),
+        np.asarray(img_out["image"])[:64],
         os.path.join(workdir, "text_conditioned.png"),
     )
     return {
         "config": name,
         "image_to_text_exact_match": round(token_acc, 4),
         "image_to_text_per_token_accuracy": round(per_token, 4),
+        "text_to_image_to_text_exact": round(rt_exact, 4),
+        "text_to_image_to_text_per_token": round(rt_token, 4),
         "test_elbo": api.eval_elbo(config, model=model, params=params),
     }
 
