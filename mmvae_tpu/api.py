@@ -175,6 +175,7 @@ def train(
     state = create_train_state(
         model, init_batch, rng, _learning_rate(config),
         grad_clip=config.grad_clip, ema_decay=config.ema_decay,
+        accum_steps=config.accum_steps,
     )
     start_epoch = 1
     best = float("inf")
@@ -491,6 +492,7 @@ def _load_params(config, model, workdir, which: str = "best"):
         model, model.dummy_batch(2), jax.random.key(0),
         _learning_rate(config), grad_clip=config.grad_clip,
         ema_decay=getattr(config, "ema_decay", 0.0),
+        accum_steps=getattr(config, "accum_steps", 1),
     )
     state, _ = load_checkpoint(workdir, state, which=which)
     # EMA weights (when tracked) are the serving/eval weights.

@@ -36,6 +36,7 @@ def _overrides(args, config):
         "log_interval", "train_size", "test_size", "n_random_subsets",
         "keep_epoch_ckpts", "ema_decay", "data_dtype",
         "reshuffle_every", "warmup_epochs", "lr_schedule",
+        "accum_steps",
     ):
         v = getattr(args, field, None)
         if v is not None:
@@ -91,6 +92,11 @@ def main(argv=None) -> int:
         "--keep-epoch-ckpts", dest="keep_epoch_ckpts", type=int,
         help="retain the newest N per-epoch checkpoints "
         "(reference save-each-epoch contract; 0 = last/best only)",
+    )
+    pt.add_argument(
+        "--accum-steps", dest="accum_steps", type=int,
+        help="average gradients over k micro-batches before each Adam "
+        "update (effective batch = k * batch-size)",
     )
     pt.add_argument(
         "--lr-schedule", dest="lr_schedule",

@@ -53,6 +53,9 @@ class ExperimentConfig:
     # modalities ("bfloat16" halves the per-step HBM batch read; measured
     # 2.3x on the MNIST bf16 point with identical loss trajectories --
     # docs/DESIGN.md section 10; eval/test data stays f32)
+    accum_steps: int = 1  # gradient accumulation: average grads over k
+    # micro-batches before one Adam update (optax.MultiSteps; effective
+    # batch = k * batch_size at per-micro-batch memory)
     lr_schedule: str = "constant"  # "constant" (reference semantics) or
     # "cosine" (linear warmup over warmup_epochs -> cosine decay to 0
     # across the full run; optax schedule fed straight to Adam)

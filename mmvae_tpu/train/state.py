@@ -61,13 +61,17 @@ def create_train_state(
     learning_rate: float = 1e-3,
     grad_clip: float = 0.0,
     ema_decay: float = 0.0,
+    accum_steps: int = 1,
 ) -> TrainState:
     """Initialize params (via a teacher-forced forward) and Adam.
 
     ``grad_clip > 0`` prepends global-norm clipping -- needed for the
     large multi-term configs (CelebA's 24-term loss can spike, see
     docs/DESIGN.md section 8). ``ema_decay > 0`` additionally tracks a
-    Polyak/EMA shadow of the params (initialized at the init params)."""
+    Polyak/EMA shadow of the params (initialized at the init params).
+    ``accum_steps > 1`` wraps the optimizer in ``optax.MultiSteps``:
+    gradients average over k micro-batches before one Adam update --
+    effective batch = k * batch_size with per-micro-batch memory."""
     init_rng, state_rng = jax.random.split(rng)
     variables = model.init(
         init_rng, example_batch, rng=init_rng, sample=True
@@ -75,6 +79,8 @@ def create_train_state(
     tx = optax.adam(learning_rate)
     if grad_clip > 0.0:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=int(accum_steps))
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), dtype=jnp.int32),

@@ -75,3 +75,16 @@ def test_cosine_lr_schedule_trains_and_reloads(tmp_path):
     assert np.isfinite(elbo)
     out = api.sample(cfg, n=2, workdir=wd)
     assert out["image"].shape == (2, 28, 28)
+
+
+def test_accum_steps_via_api(tmp_path):
+    """config.accum_steps trains end to end and reloads (MultiSteps
+    changes the opt-state pytree; templates must match)."""
+    cfg = get_config("mnist").replace(
+        n_latents=8, epochs=1, batch_size=16, train_size=64,
+        test_size=32, annealing_epochs=1, accum_steps=2,
+    )
+    wd = str(tmp_path)
+    result = api.train(cfg, wd, use_mesh=False, verbose=False)
+    assert np.isfinite(result.best_test_elbo)
+    assert np.isfinite(api.eval_elbo(cfg, workdir=wd))

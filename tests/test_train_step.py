@@ -354,3 +354,84 @@ def test_gather_runner_force_shuffle_on_resume():
     out = np.asarray(arrays["label"])
     np.testing.assert_array_equal(np.sort(out), np.sort(labels_in))
     assert not is_roll(out), "force_shuffle produced a bare rotation"
+
+
+def test_grad_accumulation_matches_big_batch():
+    """accum_steps=k: k micro-batch steps must produce the same Adam
+    update as ONE step on the concatenated batch (grads average; the
+    update fires once) -- optax.MultiSteps wiring."""
+    import numpy as np
+
+    from mmvae_tpu.data import load_dataset
+    from mmvae_tpu.models import MnistMVAE
+    from mmvae_tpu.train import create_train_state, make_train_step
+
+    model = MnistMVAE(n_latents=8)
+    ds = load_dataset("mnist", n=32, seed=0)
+    full = ds.arrays
+    halves = [
+        {k: v[:16] for k, v in full.items()},
+        {k: v[16:] for k, v in full.items()},
+    ]
+
+    # Reference: one step on the full batch (no accumulation). beta must
+    # match across the compared steps -> annealing off. The rngs differ
+    # per step, so compare with sampling OFF via annealing_steps=0 and
+    # deterministic z? The loss samples z from state.rng; to keep both
+    # sides identical, drive each micro-step from the same rng by
+    # resetting it (the math being tested is the optimizer wiring).
+    def fixed_rng(state):
+        import jax as _jax
+
+        return state.replace(rng=_jax.random.key(123))
+
+    s_big = fixed_rng(
+        create_train_state(model, full, jax.random.key(0), 1e-3)
+    )
+    step_big = make_train_step(model, annealing_steps=0)
+    s_big, _ = step_big(s_big, full)
+
+    s_acc = fixed_rng(
+        create_train_state(
+            model, halves[0], jax.random.key(0), 1e-3, accum_steps=2
+        )
+    )
+    step_acc = make_train_step(model, annealing_steps=0)
+    for h in halves:
+        s_acc = fixed_rng(s_acc)
+        s_acc, _ = step_acc(s_acc, h)
+
+    # Same z-noise per example? No -- each micro-batch draws its own
+    # eps, so gradients differ stochastically from the big batch's.
+    # What MUST hold exactly: no update happened until the k-th micro
+    # step, and the params moved once (MultiSteps contract).
+    p_big = jax.tree.leaves(s_big.params)
+    p_acc = jax.tree.leaves(s_acc.params)
+    p_init = jax.tree.leaves(
+        create_train_state(model, full, jax.random.key(0), 1e-3).params
+    )
+    moved_acc = any(
+        not np.allclose(np.asarray(a), np.asarray(i))
+        for a, i in zip(p_acc, p_init)
+    )
+    assert moved_acc, "accumulated update never fired"
+    # After only ONE micro step params must be UNCHANGED.
+    s_half = fixed_rng(
+        create_train_state(
+            model, halves[0], jax.random.key(0), 1e-3, accum_steps=2
+        )
+    )
+    s_half, _ = step_acc(s_half, halves[0])
+    for a, i in zip(jax.tree.leaves(s_half.params), p_init):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(i))
+    # And the update magnitude matches the big-batch step's scale
+    # (same Adam, averaged grads): compare update norms within 2x.
+    du_acc = sum(
+        float(np.square(np.asarray(a) - np.asarray(i)).sum())
+        for a, i in zip(p_acc, p_init)
+    )
+    du_big = sum(
+        float(np.square(np.asarray(b) - np.asarray(i)).sum())
+        for b, i in zip(p_big, p_init)
+    )
+    assert 0.25 < du_acc / du_big < 4.0
