@@ -49,18 +49,21 @@ def iwae_bound(model, params, batch, rng, k: int = 64):
     mu, logvar = product_of_experts(mu_e, lv_e)  # joint posterior (B,L)
 
     batch_size = mu.shape[0]
-    eps = jax.random.normal(rng, (k,) + mu.shape, dtype=mu.dtype)
-    z = mu[None] + jnp.exp(0.5 * logvar)[None] * eps  # (k,B,L)
+    eps = jax.random.normal(
+        rng, (batch_size, k) + mu.shape[1:], dtype=mu.dtype
+    )
+    z = mu[:, None] + jnp.exp(0.5 * logvar)[:, None] * eps  # (B,k,L)
 
-    log_q = _diag_normal_logpdf(z, mu[None], logvar[None])  # (k,B)
+    log_q = _diag_normal_logpdf(z, mu[:, None], logvar[:, None])  # (B,k)
     log_prior = _diag_normal_logpdf(
-        z, jnp.zeros_like(mu)[None], jnp.zeros_like(logvar)[None]
+        z, jnp.zeros_like(mu)[:, None], jnp.zeros_like(logvar)[:, None]
     )
 
-    # Fold k into the batch axis -- same trick as the ELBO term fold
-    # (train/step.py): one decoder pass, targets stay untiled (nll_all
-    # maps k-tiled decoder rows onto one copy of the targets).
-    z_flat = z.reshape((k * batch_size, -1))
+    # Fold k into the batch axis B-MAJOR -- same fold as the ELBO term
+    # fold (train/step.py): one decoder pass, targets stay untiled
+    # (nll_all maps k-tiled b-major decoder rows onto one copy of the
+    # targets), and the sharded batch axis stays outermost.
+    z_flat = z.reshape((batch_size * k, -1))
     seq_names = [s.name for s in model.specs() if s.kind == "seq"]
     if seq_names:
         from mmvae_tpu.train.step import _tile_terms
@@ -73,14 +76,14 @@ def iwae_bound(model, params, batch, rng, k: int = 64):
     recons = model.apply(variables, z_flat, decode_batch, method="decode")
     nll_flat = model.apply(
         variables, recons, data, method="nll_all"
-    )  # (M, k*B)
+    )  # (M, B*k)
     # Marginal likelihood sums the RAW modality NLLs (no lambda
     # weighting -- lambdas are training-loss weights, not likelihoods).
     log_px_given_z = -jnp.sum(
-        nll_flat.reshape((model.n_modalities, k, batch_size)), axis=0
-    )  # (k,B)
+        nll_flat.reshape((model.n_modalities, batch_size, k)), axis=0
+    )  # (B,k)
 
-    log_w = log_px_given_z + log_prior - log_q  # (k,B)
-    return jax.scipy.special.logsumexp(log_w, axis=0) - jnp.log(
+    log_w = log_px_given_z + log_prior - log_q  # (B,k)
+    return jax.scipy.special.logsumexp(log_w, axis=1) - jnp.log(
         jnp.asarray(k, log_w.dtype)
     )

@@ -13,8 +13,6 @@ from __future__ import annotations
 
 import jax
 
-from math import prod as np_prod
-
 import jax.numpy as jnp
 
 from mmvae_tpu.ops import kernels as _kernels
@@ -33,13 +31,16 @@ __all__ = [
 
 
 def _tile_rows(x, k: int):
-    """k-fold row tiling (term axis folded into rows, t-major) -- the
-    jnp form XLA fuses into consumers instead of materializing."""
+    """k-fold row tiling, B-MAJOR (term axis minor: row ``b*k + t``) --
+    matches the train-step fold order (``train/step.py::_tile_terms``).
+    The jnp broadcast+reshape form fuses into consumers instead of
+    materializing, and a sharded-major x replicated-minor merge keeps
+    the batch axis sharded under GSPMD."""
     import jax.numpy as _jnp
 
-    return _jnp.broadcast_to(x[None], (k,) + x.shape).reshape(
-        (k * x.shape[0],) + x.shape[1:]
-    )
+    return _jnp.broadcast_to(
+        x[:, None], (x.shape[0], k) + x.shape[1:]
+    ).reshape((x.shape[0] * k,) + x.shape[1:])
 
 # Per-op backend policy. "auto" resolves per op on TPU to whichever
 # implementation WON the in-program A/B on the v5e (tools/ab_kernels.py,
@@ -98,20 +99,17 @@ def bernoulli_nll(logits, x, event_ndims: int = 1):
 
     Drop-in for ``mmvae_tpu.core.likelihoods.bernoulli_nll`` -- plus:
     ``x`` may carry fewer leading rows than ``logits`` (``n_logits =
-    k * n_x``, the multi-term hot path, t-major). The Pallas kernel then
-    reads the targets ONCE from HBM via its block index map instead of
-    consuming a materialized k-fold broadcast; when the target rows
-    don't admit an aligned tile, the jnp fallback broadcast fuses into
-    XLA's own BCE fusion (still zero materialization).
+    k * n_x``, the multi-term hot path, b-major rows). Tiled targets
+    take the jnp broadcast path: the b-major broadcast+reshape fuses
+    into XLA's own BCE fusion (zero materialization) and, unlike an
+    opaque pallas_call, keeps the batch axis sharded under the mesh.
     """
     tiled = x.shape[0] != logits.shape[0]
-    if _use_pallas("bce"):
-        if not tiled or _kernels.tile_divisor(
-            int(np_prod(x.shape[: x.ndim - event_ndims]))
-        ):
-            return _kernels.bernoulli_nll_pallas(logits, x, event_ndims)
     if tiled:
         x = _tile_rows(x, logits.shape[0] // x.shape[0])
+        return _bern_jnp(logits, x, event_ndims)
+    if _use_pallas("bce"):
+        return _kernels.bernoulli_nll_pallas(logits, x, event_ndims)
     return _bern_jnp(logits, x, event_ndims)
 
 

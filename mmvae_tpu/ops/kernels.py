@@ -83,37 +83,19 @@ def _bce_kernel(l_ref, x_ref, out_ref, *, d_total: int, tile_d: int):
     out_ref[:] += jnp.sum(per_elem, axis=1, keepdims=True)
 
 
-def tile_divisor(nb: int, cap: int = _TILE_N) -> int | None:
-    """Largest row-tile size <= cap that divides nb and the f32 sublane
-    count (8), or None (caller falls back to a jnp broadcast)."""
-    for t in range(min(cap, nb), 7, -1):
-        if nb % t == 0 and t % 8 == 0:
-            return t
-    return None
-
-
 def _rowwise_reduce(kernel, a, b, interpret: bool = False):
     """Run a 2-input row-reduce kernel over (N, D) f32 inputs -> (N,).
 
-    ``b`` may carry fewer rows than ``a`` (N = k * N_b): the hot path
-    evaluates k term-tiled decoder outputs against ONE copy of the
-    targets, and mapping each ``a`` tile onto ``b`` tile ``i % nb_tiles``
-    reads the targets once from HBM instead of materializing the k-fold
-    broadcast (which XLA would otherwise have to do in front of an
-    opaque pallas_call). Requires a row tile that divides N_b -- the
-    caller checks :func:`tile_divisor` first.
+    Both inputs carry the same rows. (A round-2 variant let ``b`` carry
+    fewer rows with a t-major block index map; the round-3 b-major term
+    fold -- which keeps the decode pass sharded under the mesh -- made
+    that mapping unrepresentable at block granularity, and the tiled
+    BCE path goes through the jnp broadcast that XLA fuses anyway.)
     """
     n, d = a.shape
-    nb = b.shape[0]
-    if nb == n:
-        tile_n = min(_TILE_N, max(8, n))
-        b_index = lambda i, j: (i, j)  # noqa: E731
-    else:
-        assert n % nb == 0, (n, nb)
-        tile_n = tile_divisor(nb)
-        assert tile_n is not None, (n, nb)
-        nb_tiles = nb // tile_n
-        b_index = lambda i, j: (i % nb_tiles, j)  # noqa: E731
+    assert b.shape[0] == n, (n, b.shape)
+    tile_n = min(_TILE_N, max(8, n))
+    b_index = lambda i, j: (i, j)  # noqa: E731
     tile_d = min(_TILE_D, max(128, d))
     grid = (_cdiv(n, tile_n), _cdiv(d, tile_d))
     out = pl.pallas_call(
@@ -135,7 +117,7 @@ def _rowwise_reduce(kernel, a, b, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=5 * n * d, bytes_accessed=(n + nb) * d * 4 + n * 4,
+            flops=5 * n * d, bytes_accessed=2 * n * d * 4 + n * 4,
             transcendentals=n * d,
         ),
     )(a, b)
@@ -332,18 +314,6 @@ def _bce_bwd(event_ndims, res, g):
     for _ in range(event_ndims):
         g = g[..., None]
     xb = x.astype(logits.dtype)
-    if xb.shape[0] != logits.shape[0]:
-        # Term-tiled forward (targets carried once, k = n_terms): the
-        # backward broadcast is plain jnp, so XLA fuses it into the
-        # surrounding gradient computation -- nothing materializes.
-        k = logits.shape[0] // xb.shape[0]
-        lg = logits.reshape((k, xb.shape[0]) + logits.shape[1:])
-        gg = g.reshape((k, xb.shape[0]) + g.shape[1:])
-        dlogits = (gg * (jax.nn.sigmoid(lg) - xb[None])).reshape(
-            logits.shape
-        )
-        dx = jnp.sum(gg * (-lg), axis=0).astype(x.dtype)
-        return (dlogits, dx)
     dlogits = g * (jax.nn.sigmoid(logits) - xb)
     dx = g * (-logits)
     return (dlogits, dx.astype(x.dtype))

@@ -7,11 +7,13 @@ subsets live in a ``(n_terms, n_modalities)`` float mask matrix and the
 whole multi-term ELBO is ONE compiled XLA program:
 
   * encoders run ONCE per modality -> ``(B, M, L)`` expert stack;
-  * masked PoE fusion broadcasts over the term axis -> ``(T, B, L)``
+  * masked PoE fusion broadcasts over the term axis -> ``(B, T, L)``
     posteriors (an absent expert contributes zero precision);
-  * decoding folds the term axis into the batch axis, so every decoder
-    sees one ``(T*B, ...)`` batch -- large MXU matmuls instead of T small
-    ones;
+  * decoding folds the term axis into the batch axis B-MAJOR (row
+    ``b*T + t``), so every decoder sees one ``(B*T, ...)`` batch --
+    large MXU matmuls instead of T small ones -- and the sharded batch
+    axis stays outermost, so the fold is GSPMD-representable and the
+    decode+NLL pass runs data-parallel under the mesh;
   * KL and recon reductions route through ``mmvae_tpu.ops``, which
     dispatches each to whichever implementation (Pallas kernel or XLA)
     won the in-program A/B on the target backend (tools/ab_kernels.py;
@@ -52,14 +54,43 @@ __all__ = [
 
 
 def _tile_terms(tree, n_terms: int):
-    """Broadcast every array in ``tree`` to a leading (n_terms*batch) axis."""
+    """Broadcast every array in ``tree`` to a (batch*n_terms) row axis.
+
+    B-MAJOR (term axis minor): row ``b*n_terms + t`` is example ``b``
+    under term ``t``. Keeping the sharded batch axis OUTERMOST lets
+    GSPMD split the merged axis across the data mesh (a sharded-major x
+    replicated-minor reshape is representable; the former t-major fold
+    was not, and SPMD replicated the whole decode+NLL pass -- the
+    round-2 "involuntary full rematerialization" in MULTICHIP_r02).
+    """
 
     def tile(x):
-        return jnp.broadcast_to(x[None], (n_terms,) + x.shape).reshape(
-            (n_terms * x.shape[0],) + x.shape[1:]
-        )
+        return jnp.broadcast_to(
+            x[:, None], (x.shape[0], n_terms) + x.shape[1:]
+        ).reshape((x.shape[0] * n_terms,) + x.shape[1:])
 
     return jax.tree.map(tile, tree)
+
+
+def _constrain_rows(tree, mesh):
+    """Pin each leaf's leading (row) axis to the mesh's data axes.
+
+    Under FSDP even rank-1 params (decoder biases) can be sharded; GSPMD
+    then propagates the BIAS layout into the decode output and the NLL,
+    and resolves the conflict with the batch-sharded targets by fully
+    rematerializing them (the round-2 dryrun SPMD warning). An explicit
+    row constraint on the decode pass keeps the whole decode+NLL
+    batch-sharded; the tiny bias all-gather is the right cost to pay.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def c(x):
+        spec = P(tuple(mesh.axis_names), *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, spec)
+        )
+
+    return jax.tree.map(c, tree)
 
 
 def multi_term_loss(
@@ -72,8 +103,13 @@ def multi_term_loss(
     n_random_subsets: int = 0,
     sample: bool = True,
     cross_recon: bool = False,
+    mesh=None,
 ):
     """Total multi-term ELBO loss (batch mean) + per-term metrics.
+
+    ``mesh``: when set, the decode+NLL pass is pinned row-sharded over
+    the mesh's data axes (see ``_constrain_rows``) -- needed under FSDP,
+    a no-op layout assertion under plain DP.
 
     ``batch`` maps modality names to targets, plus an optional
     ``"presence"`` key: ``(B, M)`` float mask of which modalities each
@@ -102,21 +138,23 @@ def multi_term_loss(
     variables = {"params": params}
     mu_e, lv_e = model.apply(variables, data, method="encode")  # (B, M, L)
 
-    # Effective fusion mask per (term, example, modality).
-    eff = masks[:, None, :]  # (T, 1, M)
+    # Effective fusion mask per (example, term, modality). The term axis
+    # sits MINOR to the batch axis everywhere below so the batch-sharded
+    # mesh layout survives the term fold (see _tile_terms).
+    eff = masks[None]  # (1, T, M)
     if presence is not None:
-        eff = eff * presence[None]  # (T, B, M)
+        eff = eff * presence[:, None]  # (B, T, M)
     else:
-        eff = jnp.broadcast_to(eff, (n_terms, mu_e.shape[0], n_mod))
+        eff = jnp.broadcast_to(eff, (mu_e.shape[0], n_terms, n_mod))
 
     fused_mu, fused_lv = product_of_experts(
-        mu_e[None], lv_e[None], mask=eff
-    )  # (T, B, L)
+        mu_e[:, None], lv_e[:, None], mask=eff
+    )  # (B, T, L)
     z = reparameterize(rng_z, fused_mu, fused_lv, sample=sample)
 
-    # Fold terms into batch: one big decoder pass.
+    # Fold terms into batch (b-major): one big decoder pass.
     batch_size = mu_e.shape[0]
-    z_flat = z.reshape((n_terms * batch_size, -1))
+    z_flat = z.reshape((batch_size * n_terms, -1))
     # Decoders only read the batch for teacher forcing of sequence
     # modalities -- tile just those (tiny integer arrays). Targets stay
     # UNTILED: the ops-layer NLLs map term-tiled decoder rows onto one
@@ -128,17 +166,21 @@ def multi_term_loss(
         if seq_names
         else None
     )
+    if mesh is not None:
+        z_flat = _constrain_rows(z_flat, mesh)
     recons = model.apply(variables, z_flat, decode_batch, method="decode")
+    if mesh is not None:
+        recons = _constrain_rows(recons, mesh)
     nll_flat = model.apply(
         variables, recons, data, method="nll_all"
-    )  # (M, T*B)
-    nll = nll_flat.reshape((n_mod, n_terms, batch_size)).swapaxes(0, 1)
+    )  # (M, B*T) b-major rows
+    nll = nll_flat.reshape((n_mod, batch_size, n_terms)).transpose(2, 0, 1)
 
     if presence is not None:
         # Unobserved modalities are not recon targets either.
         nll = nll * presence.T[None]  # (T, M, B) * (1, M, B)
 
-    kl = kl_std_normal(fused_mu, fused_lv)  # (T, B)
+    kl = kl_std_normal(fused_mu, fused_lv).T  # (B, T) -> (T, B)
     if cross_recon:
         # Every modality is a target for every subset posterior -- except
         # for an all-empty subset (possible when random subsets are drawn
@@ -182,12 +224,24 @@ def make_train_step(
         annealing_steps=annealing_steps,
         p_modality_drop=p_modality_drop,
         cross_recon=cross_recon,
+        mesh=_mesh_of(out_state_shardings),
     )
     if out_state_shardings is None:
         return jax.jit(impl, donate_argnums=0)
     return jax.jit(
         impl, donate_argnums=0, out_shardings=(out_state_shardings, None)
     )
+
+
+def _mesh_of(out_state_shardings):
+    """The mesh an FSDP sharding PyTree lives on (None when no tree)."""
+    if out_state_shardings is None:
+        return None
+    for s in jax.tree.leaves(out_state_shardings):
+        mesh = getattr(s, "mesh", None)
+        if mesh is not None:
+            return mesh
+    return None
 
 
 def _train_step_impl(
@@ -197,6 +251,7 @@ def _train_step_impl(
     annealing_steps: int,
     p_modality_drop: float,
     cross_recon: bool = False,
+    mesh=None,
 ) -> Callable:
     """Unjitted step body, shared by the per-step jit and the epoch scan."""
 
@@ -226,6 +281,7 @@ def _train_step_impl(
                 n_random_subsets=n_random_subsets,
                 sample=True,
                 cross_recon=cross_recon,
+                mesh=mesh,
             )
             return loss, metrics
 
@@ -266,6 +322,7 @@ def make_epoch_runner(
         annealing_steps=annealing_steps,
         p_modality_drop=p_modality_drop,
         cross_recon=cross_recon,
+        mesh=_mesh_of(out_state_shardings),
     )
 
     def run_epoch(state, batches):
@@ -294,6 +351,7 @@ def make_gather_epoch_runner(
     p_modality_drop: float = 0.0,
     cross_recon: bool = False,
     reshuffle_every: int = 1,
+    n_shards: int = 1,
 ) -> Callable:
     """Epoch runner with shuffle AND gather INSIDE the program:
     ``(state, arrays) -> (state, arrays, metrics)``.
@@ -320,10 +378,24 @@ def make_gather_epoch_runner(
     batches (random-row reads every step: 506k vs 752k samples/s at
     the f32/100 reference point).
 
-    Single-device fast path: ``api.train`` uses it when no mesh is
-    active. (The mesh path keeps pre-stacked batches whose sharding is
-    explicit; an in-program gather from replicated arrays to a sharded
-    batch would make GSPMD materialize intermediate layouts.)
+    Mesh composition (``n_shards > 1``, round-3): the caller places
+    ``arrays`` batch-sharded over the data mesh and passes the mesh
+    size. The epoch shuffle is then a PER-SHARD permutation -- each
+    device row-gathers only its own resident shard (the ``(n_shards,
+    per, ...)`` reshape is a sharded-major split, so GSPMD keeps the
+    gather local) -- and every batch draws ``batch_size / n_shards``
+    rows FROM EACH shard (stratified batches: the ``(n_steps,
+    n_shards, b_local)`` stacking keeps the sharded axis intact through
+    every reshape, so the epoch program has ZERO cross-chip bytes --
+    a naive ``(size,) -> (n_steps, batch)`` split crosses shard
+    boundaries and makes GSPMD all-gather the whole dataset). Initial
+    shard membership must be randomized by the caller (``api.train``
+    host-shuffles once at load); after that, per-shard reshuffling is
+    statistically standard per-worker shuffling -- every batch still
+    mixes rows of all shards. The program is identical for a 1-device
+    mesh with the same ``n_shards`` -- the fake-device parity test
+    relies on that. ``reshuffle_every`` amortizes the per-shard gather
+    exactly as in the single-device path (local rotation in between).
     """
     impl = _train_step_impl(
         model,
@@ -346,36 +418,114 @@ def make_gather_epoch_runner(
                 lambda v: jnp.take(v, order, axis=0), ars
             )
 
-        if reshuffle_every <= 1:
-            arrays = reshuffled(arrays)
+        epoch_i = state.step // jnp.int32(max(n_steps, 1))
+        if n_shards > 1:
+            if size % n_shards or batch_size % n_shards:
+                raise ValueError(
+                    f"dataset size {size} and batch size {batch_size} "
+                    f"must both divide over {n_shards} shards"
+                )
+            per = size // n_shards
+            b_local = batch_size // n_shards
+
+            def pershard_perm(ars):
+                # One independent permutation per shard; take_along_axis
+                # batches over the sharded axis, so each device gathers
+                # rows only from its own resident shard.
+                keys = jax.random.split(shuffle_rng, n_shards)
+                idx = jax.vmap(
+                    lambda k: jax.random.permutation(k, per)
+                )(keys)  # (n_shards, per)
+
+                def shuf(v):
+                    v3 = v.reshape((n_shards, per) + v.shape[1:])
+                    ix = idx.reshape(
+                        (n_shards, per) + (1,) * (v.ndim - 1)
+                    )
+                    v3 = jnp.take_along_axis(v3, ix, axis=1)
+                    return v3.reshape(v.shape)
+
+                return jax.tree.map(shuf, ars)
+
+            def pershard_roll(ars):
+                # Local rotation within each shard -- the cheap
+                # between-reshuffles epoch, exactly like the
+                # single-device jnp.roll but along the intra-shard axis
+                # so no data crosses devices.
+                offset = jax.random.randint(roll_rng, (), 1, per)
+
+                def roll(v):
+                    v3 = v.reshape((n_shards, per) + v.shape[1:])
+                    return jnp.roll(v3, offset, axis=1).reshape(
+                        v.shape
+                    )
+
+                return jax.tree.map(roll, ars)
+
+            if reshuffle_every <= 1:
+                arrays = pershard_perm(arrays)
+            else:
+                arrays = jax.lax.cond(
+                    jnp.logical_or(
+                        (epoch_i % reshuffle_every) == 0,
+                        jnp.asarray(force_shuffle),
+                    ),
+                    pershard_perm,
+                    pershard_roll,
+                    arrays,
+                )
+            n_local = n_steps * b_local
+
+            def stack(v):
+                # Stratified batches: step s takes rows [s*b_local,
+                # (s+1)*b_local) FROM EACH shard -> the sharded axis
+                # survives every reshape (sharded-major splits/merges
+                # only) and the stacked epoch stays batch-sharded.
+                v3 = v.reshape((n_shards, per) + v.shape[1:])
+                v3 = v3[:, :n_local].reshape(
+                    (n_shards, n_steps, b_local) + v.shape[1:]
+                )
+                v3 = jnp.moveaxis(v3, 0, 1)
+                return v3.reshape(
+                    (n_steps, batch_size) + v.shape[1:]
+                )
+
+            stacked = jax.tree.map(stack, arrays)
         else:
-            # Epochs between true reshuffles rotate the (already
-            # shuffled, persisted) arrays by a random offset: batch
-            # composition still changes every epoch, but the data
-            # movement is a streaming roll, not a row-gather.
-            # ``force_shuffle`` (the caller's first epoch in this
-            # process -- fresh start OR resume) forces a true shuffle:
-            # the freshly loaded arrays are in raw load order, and
-            # rolling unshuffled data would feed correlated batches.
-            epoch_i = state.step // jnp.int32(max(n_steps, 1))
-            offset = jax.random.randint(roll_rng, (), 1, size)
-            arrays = jax.lax.cond(
-                jnp.logical_or(
-                    (epoch_i % reshuffle_every) == 0,
-                    jnp.asarray(force_shuffle),
-                ),
-                reshuffled,
-                lambda ars: jax.tree.map(
+
+            def rolled(ars):
+                offset = jax.random.randint(roll_rng, (), 1, size)
+                return jax.tree.map(
                     lambda v: jnp.roll(v, offset, axis=0), ars
+                )
+
+            if reshuffle_every <= 1:
+                arrays = reshuffled(arrays)
+            else:
+                # Epochs between true reshuffles rotate the (already
+                # shuffled, persisted) arrays by a random offset: batch
+                # composition still changes every epoch, but the data
+                # movement is a streaming roll, not a row-gather.
+                # ``force_shuffle`` (the caller's first epoch in this
+                # process -- fresh start OR resume) forces a true
+                # shuffle: the freshly loaded arrays are in raw load
+                # order, and rolling unshuffled data would feed
+                # correlated batches.
+                arrays = jax.lax.cond(
+                    jnp.logical_or(
+                        (epoch_i % reshuffle_every) == 0,
+                        jnp.asarray(force_shuffle),
+                    ),
+                    reshuffled,
+                    rolled,
+                    arrays,
+                )
+            stacked = jax.tree.map(
+                lambda v: v[:n_used].reshape(
+                    (n_steps, batch_size) + v.shape[1:]
                 ),
                 arrays,
             )
-        stacked = jax.tree.map(
-            lambda v: v[:n_used].reshape(
-                (n_steps, batch_size) + v.shape[1:]
-            ),
-            arrays,
-        )
 
         def body(state, batch):
             state, metrics = impl(state, batch)

@@ -51,10 +51,13 @@ def test_iwae_matches_per_sample_loop(setup):
     variables = {"params": params}
     mu_e, lv_e = model.apply(variables, batch, method="encode")
     mu, logvar = product_of_experts(mu_e, lv_e)
-    eps = jax.random.normal(rng, (k,) + mu.shape, dtype=mu.dtype)
+    # Same b-major eps draws as iwae_bound (B, k, L).
+    eps = jax.random.normal(
+        rng, (mu.shape[0], k) + mu.shape[1:], dtype=mu.dtype
+    )
     log_ws = []
     for i in range(k):
-        z = mu + jnp.exp(0.5 * logvar) * eps[i]
+        z = mu + jnp.exp(0.5 * logvar) * eps[:, i]
         recons = model.apply(variables, z, None, method="decode")
         nll = model.apply(variables, recons, batch, method="nll_all")
         log_p = -jnp.sum(nll.reshape(model.n_modalities, -1), axis=0)

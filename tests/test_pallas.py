@@ -123,34 +123,18 @@ def test_backend_dispatch():
         ops.set_backend("auto")
 
 
-@pytest.mark.parametrize("k,b,d", [(3, 64, 784), (24, 64, 512), (4, 8, 130)])
-def test_bce_tiled_targets_interpret(k, b, d):
-    """Term-tiled logits (k*B rows) vs ONE copy of the targets (B rows)
-    must equal BCE against the explicit k-fold broadcast."""
-    rng = np.random.default_rng(6)
-    logits = jnp.asarray(rng.normal(size=(k * b, d)).astype(np.float32))
-    x = jnp.asarray(rng.uniform(size=(b, d)).astype(np.float32))
-    got = kernels._bce_fwd_impl(logits, x, 1, interpret=True)
-    x_full = jnp.broadcast_to(x[None], (k, b, d)).reshape(k * b, d)
-    want = bce_jnp(logits, x_full, 1)
-    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-3)
-
-
-def test_bce_tiled_bwd_matches_jnp_grad():
-    rng = np.random.default_rng(7)
-    k, b, d = 3, 8, 32
-    logits = jnp.asarray(rng.normal(size=(k * b, d)).astype(np.float32))
-    x = jnp.asarray(rng.uniform(size=(b, d)).astype(np.float32))
-    got_dl, got_dx = kernels._bce_bwd(1, (logits, x), jnp.ones((k * b,)))
-    x_full = jnp.broadcast_to(x[None], (k, b, d)).reshape(k * b, d)
-    want_dl = jax.grad(lambda l: bce_jnp(l, x_full, 1).sum())(logits)
-    np.testing.assert_allclose(got_dl, want_dl, rtol=2e-4, atol=1e-5)
-    assert got_dx.shape == x.shape
+def _tile_bmajor(x, k):
+    """B-major k-fold row tiling: row b*k + t <- source row b (matches
+    train/step.py::_tile_terms and ops._tile_rows)."""
+    return jnp.broadcast_to(
+        x[:, None], (x.shape[0], k) + x.shape[1:]
+    ).reshape((x.shape[0] * k,) + x.shape[1:])
 
 
 def test_ops_nll_row_tiling_dispatch():
-    """ops-level NLLs accept term-tiled logits with untiled targets and
-    match the explicit-broadcast jnp reference (jnp fallback path)."""
+    """ops-level NLLs accept term-tiled logits with untiled targets
+    (b-major rows, matching the train-step term fold) and match the
+    explicit-broadcast jnp reference."""
     from mmvae_tpu import ops
     from mmvae_tpu.core.likelihoods import categorical_nll as cat_jnp
 
@@ -158,20 +142,35 @@ def test_ops_nll_row_tiling_dispatch():
     k, b = 3, 10
     logits = jnp.asarray(rng.normal(size=(k * b, 28, 28)).astype(np.float32))
     x = jnp.asarray(rng.uniform(size=(b, 28, 28)).astype(np.float32))
-    x_full = jnp.broadcast_to(x[None], (k, b, 28, 28)).reshape(k * b, 28, 28)
     np.testing.assert_allclose(
-        ops.bernoulli_nll(logits, x, 2), bce_jnp(logits, x_full, 2),
+        ops.bernoulli_nll(logits, x, 2),
+        bce_jnp(logits, _tile_bmajor(x, k), 2),
         rtol=1e-5,
     )
     cl = jnp.asarray(rng.normal(size=(k * b, 10)).astype(np.float32))
     lab = jnp.asarray(rng.integers(0, 10, size=(b,)).astype(np.int32))
-    lab_full = jnp.broadcast_to(lab[None], (k, b)).reshape(k * b)
     np.testing.assert_allclose(
-        ops.categorical_nll(cl, lab), cat_jnp(cl, lab_full), rtol=1e-5
+        ops.categorical_nll(cl, lab), cat_jnp(cl, _tile_bmajor(lab, k)),
+        rtol=1e-5,
     )
     sl = jnp.asarray(rng.normal(size=(k * b, 5, 13)).astype(np.float32))
     tok = jnp.asarray(rng.integers(0, 13, size=(b, 5)).astype(np.int32))
-    tok_full = jnp.broadcast_to(tok[None], (k, b, 5)).reshape(k * b, 5)
     np.testing.assert_allclose(
-        ops.masked_seq_ce(sl, tok), _seq_ce_jnp(sl, tok_full), rtol=1e-5
+        ops.masked_seq_ce(sl, tok),
+        _seq_ce_jnp(sl, _tile_bmajor(tok, k)),
+        rtol=1e-5,
+    )
+
+
+def test_tile_rows_bmajor_order():
+    """The ops tiling order IS the train-step fold order: row b*k + t
+    maps to source row b. A mismatch here would silently score every
+    decoder output against the wrong example's target."""
+    from mmvae_tpu import ops
+
+    x = jnp.arange(4)[:, None] * jnp.ones((1, 2))
+    tiled = ops._tile_rows(x, 3)
+    np.testing.assert_array_equal(
+        np.asarray(tiled[:, 0]),
+        np.repeat(np.arange(4), 3),
     )
