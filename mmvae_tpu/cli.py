@@ -217,10 +217,9 @@ def main(argv=None) -> int:
         with open(args.config_file) as f:
             overrides = json.load(f)
         overrides.pop("name", None)  # --config picks the experiment
-        if "model_kwargs" in overrides:
-            overrides["model_kwargs"] = _tuplify(
-                overrides["model_kwargs"]
-            )
+        for kw_field in ("model_kwargs", "data_kwargs"):
+            if kw_field in overrides:
+                overrides[kw_field] = _tuplify(overrides[kw_field])
         config = config.replace(**overrides)
     config = _overrides(args, config)
 

@@ -69,6 +69,10 @@ class ExperimentConfig:
     # (ZeRO-3 via GSPMD, parallel/fsdp.py); default off -- these models
     # replicate trivially, the flag is the memory-scaling escape hatch
     model_kwargs: dict[str, Any] = dataclasses.field(default_factory=dict)
+    data_kwargs: dict[str, Any] = dataclasses.field(default_factory=dict)
+    # kwargs forwarded to the synthetic data generator (e.g. hw=128 for
+    # the 128x128 CUB config); ignored when real data is mounted under
+    # $MMVAE_DATA_DIR -- mounted data must already match the model shape
 
     def replace(self, **kw) -> "ExperimentConfig":
         return dataclasses.replace(self, **kw)

@@ -56,12 +56,16 @@ def load_dataset(
     seed: int | None = None,
     device_put: bool = True,
     sharding=None,
+    gen_kwargs: dict[str, Any] | None = None,
 ) -> Dataset:
     """Load real data if present, else generate synthetic.
 
     ``split`` only affects the synthetic seed (train/test are disjoint
     draws) and the real-data filename. ``sharding`` optionally places the
     arrays with a NamedSharding (e.g. batch-sharded over the mesh).
+    ``gen_kwargs`` forward to the synthetic generator only (e.g.
+    ``hw=128`` for 128x128 CUB images); mounted real data is returned
+    as-is.
     """
     if name not in _GENERATORS:
         raise ValueError(f"unknown dataset {name!r}; have {list(_GENERATORS)}")
@@ -99,7 +103,7 @@ def load_dataset(
                 gen = native_gen.make_celeba_native
             elif name == "multimnist" and native_gen.available():
                 gen = native_gen.make_multimnist_native
-        arrays = gen(n or defaults[split], seed=seed)
+        arrays = gen(n or defaults[split], seed=seed, **(gen_kwargs or {}))
     if n is not None:
         arrays = {k: v[:n] for k, v in arrays.items()}
     size = len(next(iter(arrays.values())))

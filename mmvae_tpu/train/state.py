@@ -28,6 +28,7 @@ class TrainState(struct.PyTreeNode):
     # the PyTree (and checkpoint schema) identical to the non-EMA state.
     ema_params: Any = None
     ema_decay: float = struct.field(pytree_node=False, default=0.0)
+    accum_steps: int = struct.field(pytree_node=False, default=1)
 
     def apply_gradients(self, grads, new_rng):
         updates, new_opt_state = self.tx.update(
@@ -37,9 +38,23 @@ class TrainState(struct.PyTreeNode):
         new_ema = self.ema_params
         if new_ema is not None:
             d = self.ema_decay
-            new_ema = jax.tree.map(
+            blended = jax.tree.map(
                 lambda e, p: d * e + (1.0 - d) * p, new_ema, new_params
             )
+            if self.accum_steps > 1:
+                # Under optax.MultiSteps the params only move on commit
+                # micro-steps; blending every micro-step would pull the
+                # EMA toward the same params k times per real update
+                # (effective decay d^k -- round-2 ADVICE.md finding).
+                # mini_step wraps to 0 exactly when an update commits.
+                committed = new_opt_state.mini_step == 0
+                new_ema = jax.tree.map(
+                    lambda b, e: jnp.where(committed, b, e),
+                    blended,
+                    new_ema,
+                )
+            else:
+                new_ema = blended
         return self.replace(
             step=self.step + 1,
             params=new_params,
@@ -90,4 +105,5 @@ def create_train_state(
         tx=tx,
         ema_params=jax.tree.map(jnp.copy, params) if ema_decay > 0 else None,
         ema_decay=float(ema_decay),
+        accum_steps=int(accum_steps),
     )

@@ -88,3 +88,101 @@ def test_accum_steps_via_api(tmp_path):
     result = api.train(cfg, wd, use_mesh=False, verbose=False)
     assert np.isfinite(result.best_test_elbo)
     assert np.isfinite(api.eval_elbo(cfg, workdir=wd))
+
+
+def test_lr_schedule_in_optimizer_update_units():
+    """With accum_steps=k, optax.MultiSteps advances the inner schedule
+    once per k micro-batches; the cosine horizon must be expressed in
+    optimizer-update units or warmup takes k x longer and decay covers
+    1/k of the run (round-2 ADVICE.md medium finding)."""
+    from mmvae_tpu.api import _learning_rate
+
+    cfg = get_config("mnist").replace(
+        n_latents=8, epochs=2, batch_size=16, train_size=64,
+        lr_schedule="cosine", warmup_epochs=1, accum_steps=2,
+    )
+    sched = _learning_rate(cfg)  # 4 micro-steps/epoch -> 2 updates/epoch
+    # Warmup ends at update 2; decay completes at update 4.
+    np.testing.assert_allclose(
+        float(sched(2)), cfg.learning_rate, rtol=1e-6
+    )
+    assert float(sched(4)) < 1e-8
+
+
+def test_lr_schedule_horizon_uses_actual_dataset_size():
+    """The schedule horizon follows the ACTUAL steps per epoch (the
+    loaded dataset can be smaller than config.train_size on real-data
+    mounts -- round-2 ADVICE.md finding)."""
+    from mmvae_tpu.api import _learning_rate
+
+    cfg = get_config("mnist").replace(
+        batch_size=16, train_size=10_000, epochs=2,
+        lr_schedule="cosine", warmup_epochs=0,
+    )
+    sched = _learning_rate(cfg, steps_per_epoch=4)  # actual, not 625
+    assert float(sched(8)) < 1e-8  # decayed over the real horizon
+
+
+def test_ema_updates_only_on_accum_commit():
+    """Under accum_steps=k the EMA must blend once per real optimizer
+    update, not once per micro-batch (effective decay would silently
+    become d^k -- round-2 ADVICE.md finding)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmvae_tpu.models import MnistMVAE
+    from mmvae_tpu.train import create_train_state
+
+    model = MnistMVAE(n_latents=8)
+    state = create_train_state(
+        model, model.dummy_batch(2), jax.random.key(0), 1e-2,
+        ema_decay=0.5, accum_steps=2,
+    )
+    g = jax.tree.map(jnp.ones_like, state.params)
+    ema0 = jax.tree.leaves(state.ema_params)[0].copy()
+    s1 = state.apply_gradients(g, state.rng)
+    # Micro-step 1 of 2: params frozen, EMA must be untouched.
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(s1.ema_params)[0]), np.asarray(ema0)
+    )
+    s2 = s1.apply_gradients(g, s1.rng)
+    # Commit: params moved, EMA blended exactly once.
+    p2 = jax.tree.leaves(s2.params)[0]
+    e2 = jax.tree.leaves(s2.ema_params)[0]
+    np.testing.assert_allclose(
+        np.asarray(e2),
+        0.5 * np.asarray(ema0) + 0.5 * np.asarray(p2),
+        rtol=1e-6,
+    )
+
+
+def test_corrupt_checkpoint_fails_loudly(tmp_path):
+    """A genuinely corrupt checkpoint must surface the original restore
+    error, not be masked by the EMA-toggle template retry (round-2
+    VERDICT weak #3 / ADVICE.md)."""
+    import os
+
+    import jax
+    import pytest
+
+    from mmvae_tpu.models import MnistMVAE
+    from mmvae_tpu.train import create_train_state
+    from mmvae_tpu.train.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    model = MnistMVAE(n_latents=8)
+    state = create_train_state(
+        model, model.dummy_batch(2), jax.random.key(0), 1e-3
+    )
+    save_checkpoint(str(tmp_path), state, 1)
+    last = tmp_path / "ckpt" / "last"
+    for root, _dirs, files in os.walk(last):
+        for name in files:
+            p = os.path.join(root, name)
+            if os.path.getsize(p) > 0:
+                with open(p, "wb") as fh:
+                    fh.write(b"corrupt")
+    with pytest.raises(Exception):
+        load_checkpoint(str(tmp_path), state, which="last")

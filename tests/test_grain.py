@@ -107,3 +107,26 @@ def test_train_via_grain_with_modality_dropout():
     )
     res = api.train(cfg, None, use_mesh=False, verbose=False)
     assert np.isfinite(res.history[-1]["train_loss"])
+
+
+@pytest.mark.slow
+def test_train_via_grain_bfloat16_data():
+    """data_dtype='bfloat16' now applies to the grain backend too
+    (round-3 VERDICT item #10): float batches ship as bf16 and the run
+    lands within noise of the f32-data grain run."""
+    from mmvae_tpu import api
+    from mmvae_tpu.configs import get_config
+
+    base = get_config("mnist").replace(
+        n_latents=8, epochs=1, batch_size=32, train_size=128,
+        test_size=32, data_backend="grain",
+    )
+    r32 = api.train(base, None, use_mesh=False, verbose=False)
+    rb16 = api.train(
+        base.replace(data_dtype="bfloat16"), None, use_mesh=False,
+        verbose=False,
+    )
+    assert np.isfinite(rb16.best_test_elbo)
+    np.testing.assert_allclose(
+        rb16.best_test_elbo, r32.best_test_elbo, rtol=0.02
+    )
