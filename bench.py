@@ -37,6 +37,43 @@ _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 V5E_PEAK_FLOPS = {"float32": 49.2e12, "bfloat16": 197.0e12}
 
 
+def _windowed_rates(
+    run_window, samples_per_window: float, n_windows: int
+) -> list[float]:
+    """Samples/sec of ``n_windows`` independently timed windows, sorted.
+
+    The driver's capture runs under relay/host load jitter (round-2
+    BENCH landed below the documented band); the MEDIAN window is robust
+    to a slow outlier window, and min/max document the spread honestly.
+    ``run_window`` must end with a host fetch -- the only honest timing
+    barrier through the axon relay (block_until_ready returns early).
+    """
+    rates = []
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        run_window()
+        rates.append(samples_per_window / (time.perf_counter() - t0))
+    return sorted(rates)
+
+
+def _rate_fields(rates: list[float], flops_per_step, steps, batch, dtype):
+    """Median samples/sec + spread + (when flops are known) tflops/MFU."""
+    med = rates[len(rates) // 2]
+    out = {
+        "samples_per_sec": med,
+        "spread": {
+            "min": round(rates[0], 1),
+            "median": round(med, 1),
+            "max": round(rates[-1], 1),
+        },
+    }
+    if flops_per_step:
+        tflops = flops_per_step * med / batch / 1e12
+        out["tflops_per_sec"] = round(tflops, 2)
+        out["mfu"] = round(tflops * 1e12 / V5E_PEAK_FLOPS[dtype], 4)
+    return out
+
+
 def _program_flops(lowerable, *args) -> float | None:
     """XLA-counted flops of one execution of the jitted program.
 
@@ -207,22 +244,25 @@ def measure_jax(
     float(np.asarray(ms["loss"]).sum())
     # NOTE: block_until_ready returns early through the axon remote relay;
     # a host fetch of the metrics is the only honest completion barrier.
-    # Enough epochs that compute (~40ms/epoch) dominates per-dispatch
-    # relay jitter.
-    t0 = time.perf_counter()
-    for _ in range(n_epochs):
-        state, arrays, ms = runner(state, arrays)
-    float(np.asarray(ms["loss"]).sum())
-    dt = time.perf_counter() - t0
+    # Median of n_windows independently timed windows (each several
+    # epochs) -- robust to relay/host jitter (round-2 VERDICT weak #2).
+    n_windows = 5
+    per_window = max(1, n_epochs // n_windows)
     n_chips = max(1, len(jax.devices()))
-    sps = batch * steps * n_epochs / dt / n_chips
-    out = {"samples_per_sec": sps, "dtype": dtype, "batch": batch}
+
+    def run_window():
+        nonlocal state, arrays
+        for _ in range(per_window):
+            state, arrays, ms = runner(state, arrays)
+        float(np.asarray(ms["loss"]).sum())
+
+    rates = _windowed_rates(
+        run_window, batch * steps * per_window / n_chips, n_windows
+    )
+    out = _rate_fields(rates, flops_per_step, steps, batch, dtype)
+    out.update({"dtype": dtype, "batch": batch})
     if data_dtype != "float32":
         out["data_dtype"] = data_dtype
-    if flops_per_step:
-        tflops = flops_per_step * steps * n_epochs / dt / n_chips / 1e12
-        out["tflops_per_sec"] = round(tflops, 2)
-        out["mfu"] = round(tflops * 1e12 / V5E_PEAK_FLOPS[dtype], 4)
     return out
 
 
@@ -326,21 +366,22 @@ def measure_jax_celeba(
         flops_per_step = _flops_via_cpu("celeba", batch, steps, dtype)
     state, arrays, ms = runner(state, arrays)
     float(np.asarray(ms["loss"]).sum())
-    n_epochs = 10
-    t0 = time.perf_counter()
-    for _ in range(n_epochs):
-        state, arrays, ms = runner(state, arrays)
-    float(np.asarray(ms["loss"]).sum())
-    dt = time.perf_counter() - t0
+    n_windows, per_window = 5, 2
     n_chips = max(1, len(jax.devices()))
-    sps = batch * steps * n_epochs / dt / n_chips
-    out = {"samples_per_sec": sps, "dtype": dtype, "batch": batch}
+
+    def run_window():
+        nonlocal state, arrays
+        for _ in range(per_window):
+            state, arrays, ms = runner(state, arrays)
+        float(np.asarray(ms["loss"]).sum())
+
+    rates = _windowed_rates(
+        run_window, batch * steps * per_window / n_chips, n_windows
+    )
+    out = _rate_fields(rates, flops_per_step, steps, batch, dtype)
+    out.update({"dtype": dtype, "batch": batch})
     if data_dtype != "float32":
         out["data_dtype"] = data_dtype
-    if flops_per_step:
-        tflops = flops_per_step * steps * n_epochs / dt / n_chips / 1e12
-        out["tflops_per_sec"] = round(tflops, 2)
-        out["mfu"] = round(tflops * 1e12 / V5E_PEAK_FLOPS[dtype], 4)
     return out
 
 
@@ -375,6 +416,8 @@ def main() -> None:
     if "mfu" in ref:
         line["tflops_per_sec"] = ref["tflops_per_sec"]
         line["mfu"] = ref["mfu"]
+    if "spread" in ref:
+        line["spread"] = ref["spread"]
     if best is not None:
         line["best"] = {
             "value": round(best["samples_per_sec"], 1),
@@ -384,6 +427,9 @@ def main() -> None:
                 {"tflops_per_sec": best["tflops_per_sec"],
                  "mfu": best["mfu"]}
                 if "mfu" in best else {}
+            ),
+            **(
+                {"spread": best["spread"]} if "spread" in best else {}
             ),
         }
     print(json.dumps(line))
