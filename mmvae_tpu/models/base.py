@@ -74,6 +74,16 @@ class MVAEBase(nn.Module):
         override."""
         return {s.name: s.kind for s in self.specs()}
 
+    def batch_modalities(self) -> dict[str, list[str]]:
+        """Map batch (dummy_batch) keys -> the expert names they feed.
+
+        1:1 by default; models whose batch keys stack several experts
+        (CelebA's ``attrs`` carries all 18 ``attr_i`` experts) override.
+        Serving exports embed this map in the artifact header so a host
+        can set the presence mask without any model code
+        (``tools/serve.py``)."""
+        return {s.name: [s.name] for s in self.specs()}
+
     @property
     def n_modalities(self) -> int:
         return len(self.specs())

@@ -89,3 +89,9 @@ class CelebAMVAE(MVAEBase):
 
     def decode_kinds(self):
         return {"image": "bernoulli", "attrs": "bernoulli"}
+
+    def batch_modalities(self):
+        return {
+            "image": ["image"],
+            "attrs": [f"attr_{i}" for i in range(self.n_attrs)],
+        }

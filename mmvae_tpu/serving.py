@@ -156,6 +156,10 @@ def export_generate(
             "sample_z": sample_z,
             "platforms": list(platforms),
             "modalities": [s.name for s in model.specs()],
+            # batch key -> expert names it feeds (CelebA's stacked
+            # "attrs" carries 18 attr_i experts); lets a host set the
+            # presence mask with no model code.
+            "batch_modalities": model.batch_modalities(),
             # For dynamic artifacts the leading dim is reported as None.
             "batch_shapes": {
                 k: [

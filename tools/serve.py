@@ -37,13 +37,27 @@ def make_handler(meta, call):
         k: (tuple(v[0]), np.dtype(v[1]))
         for k, v in meta["batch_shapes"].items()
     }
+    # batch key -> expert names it feeds (older artifacts: 1:1). A
+    # stacked key like CelebA's "attrs" observes all its experts; its
+    # per-column expert names ("attr_3") are ALSO accepted as condition
+    # keys, writing one column + one presence bit (api.generate parity).
+    groups = meta.get(
+        "batch_modalities", {m: [m] for m in modalities if m in shapes}
+    )
+    column_of = {
+        name: (bkey, j)
+        for bkey, names in groups.items()
+        if len(names) > 1
+        for j, name in enumerate(names)
+    }
 
     def run_generate(payload):
         cond = payload.get("condition", {}) or {}
-        unknown = set(cond) - set(shapes)
+        unknown = set(cond) - set(shapes) - set(column_of)
         if unknown:
             raise ValueError(
-                f"unknown modalities {sorted(unknown)}; have {modalities}"
+                f"unknown modalities {sorted(unknown)}; have "
+                f"{sorted(set(shapes) | set(column_of))}"
             )
         lengths = {k: len(v) for k, v in cond.items()}
         if len(set(lengths.values())) > 1:
@@ -67,10 +81,16 @@ def make_handler(meta, call):
         presence = np.zeros((alloc, len(modalities)), np.float32)
         idx = {m: i for i, m in enumerate(modalities)}
         for key, value in cond.items():
+            if key in column_of:
+                bkey, col = column_of[key]
+                arr = np.asarray(value, shapes[bkey][1])
+                batch[bkey][: len(arr), col] = arr
+                presence[: len(arr), idx[key]] = 1.0
+                continue
             arr = np.asarray(value, shapes[key][1])
             batch[key][: len(arr)] = arr
-            if key in idx:
-                presence[: len(arr), idx[key]] = 1.0
+            for name in groups.get(key, []):
+                presence[: len(arr), idx[name]] = 1.0
         out = call(
             batch,
             presence,
