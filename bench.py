@@ -198,6 +198,7 @@ def measure_jax(
     n_epochs: int = 25,
     data_dtype: str = "float32",
     reshuffle_every: int = 1,
+    shuffle_mode: str = "roll",
 ) -> dict:
     """Samples/sec/chip (+ tflops/mfu) of the production train path: the
     lax.scan-fused epoch runner over device-resident data (what
@@ -229,7 +230,7 @@ def measure_jax(
     # path: one dispatch, zero host bytes per epoch.
     runner = make_gather_epoch_runner(
         model, steps, batch, annealing_steps=1000,
-        reshuffle_every=reshuffle_every,
+        reshuffle_every=reshuffle_every, shuffle_mode=shuffle_mode,
     )
     if data_dtype == "bfloat16":
         from mmvae_tpu.data import dataset_astype

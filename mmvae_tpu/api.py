@@ -245,10 +245,21 @@ def train(
     if in_program_gather:
         from mmvae_tpu.train import make_gather_epoch_runner
 
+        shuffle_mode = getattr(config, "shuffle_mode", "roll")
+        if shuffle_mode == "block" and n_mesh_devices > 1:
+            import warnings
+
+            warnings.warn(
+                "shuffle_mode='block' is single-device only; the mesh "
+                "path uses per-shard rolls",
+                stacklevel=2,
+            )
+            shuffle_mode = "roll"
         runner = make_gather_epoch_runner(
             model, steps_per_epoch, config.batch_size,
             reshuffle_every=config.reshuffle_every,
-            n_shards=n_mesh_devices, **runner_kwargs
+            n_shards=n_mesh_devices, shuffle_mode=shuffle_mode,
+            **runner_kwargs
         )
         if mesh is not None:
             # Host-shuffle ONCE so initial shard membership is random
@@ -488,14 +499,9 @@ def log_likelihood(
 
         return runner
 
-    try:
-        runner = _LL_RUNNERS.get((model, int(k)))
-        if runner is None:
-            runner = make_runner()
-            _LL_RUNNERS[(model, int(k))] = runner
-    except TypeError:  # unhashable model
-        runner = make_runner()
-    total = runner(params, batches, valid, jax.random.key(seed))
+    total = _memo_runner(_LL_RUNNERS, (model, int(k)), make_runner)(
+        params, batches, valid, jax.random.key(seed)
+    )
     return float(np.asarray(total)) / dataset.size
 
 
@@ -507,19 +513,28 @@ _LL_RUNNERS: dict[Any, Callable] = {}
 # closure each call, so without this cache every train() epoch would
 # retrace+recompile the eval program (~60s each on the remote-compile
 # TPU platform). Flax linen modules are frozen dataclasses -- equal
-# configurations share one runner.
+# configurations share one runner. Bounded FIFO (round-2 weak #8: a
+# long-lived notebook cycling many configs would otherwise leak one
+# compiled program per config forever).
 _EVAL_RUNNERS: dict[Any, Callable] = {}
+_RUNNER_CACHE_MAX = 16
+
+
+def _memo_runner(cache: dict, key, make: Callable) -> Callable:
+    try:
+        runner = cache.get(key)
+    except TypeError:  # unhashable model: fall back to a fresh runner
+        return make()
+    if runner is None:
+        runner = make()
+        while len(cache) >= _RUNNER_CACHE_MAX:
+            del cache[next(iter(cache))]  # FIFO: oldest insertion out
+        cache[key] = runner
+    return runner
 
 
 def _eval_runner(model):
-    try:
-        runner = _EVAL_RUNNERS.get(model)
-        if runner is None:
-            runner = make_eval_runner(model)
-            _EVAL_RUNNERS[model] = runner
-        return runner
-    except TypeError:  # unhashable model: fall back to a fresh runner
-        return make_eval_runner(model)
+    return _memo_runner(_EVAL_RUNNERS, model, lambda: make_eval_runner(model))
 
 
 def _learning_rate(config, steps_per_epoch: int | None = None):

@@ -36,7 +36,7 @@ def _overrides(args, config):
         "log_interval", "train_size", "test_size", "n_random_subsets",
         "keep_epoch_ckpts", "ema_decay", "data_dtype",
         "reshuffle_every", "warmup_epochs", "lr_schedule",
-        "accum_steps",
+        "accum_steps", "shuffle_mode",
     ):
         v = getattr(args, field, None)
         if v is not None:
@@ -111,6 +111,13 @@ def main(argv=None) -> int:
         "--reshuffle-every", dest="reshuffle_every", type=int,
         help="true device-side reshuffle every K epochs (rotation in "
         "between); K>1 amortizes the HBM row-gather",
+    )
+    pt.add_argument(
+        "--shuffle-mode", dest="shuffle_mode",
+        choices=["roll", "block"],
+        help="between-reshuffle epochs: 'roll' rotates the resident "
+        "arrays, 'block' re-randomizes batch order with zero copy "
+        "(with --reshuffle-every K>1)",
     )
     pt.add_argument(
         "--data-dtype", dest="data_dtype",

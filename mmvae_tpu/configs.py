@@ -61,6 +61,10 @@ class ExperimentConfig:
     # across the full run; optax schedule fed straight to Adam)
     warmup_epochs: int = 0  # linear LR warmup epochs (cosine schedule)
     reshuffle_every: int = 1  # true device-side reshuffle every K epochs
+    # between-reshuffle epochs: "roll" rotates the resident arrays
+    # (full streaming copy), "block" re-randomizes batch ORDER via
+    # in-scan dynamic slices (zero copy; single-device path only)
+    shuffle_mode: str = "roll"
     # (cheap rotation in between; K>1 amortizes the HBM row-gather that
     # dominates small-model steps -- docs/DESIGN.md section 10)
     ema_decay: float = 0.0  # Polyak/EMA shadow of params (0 = off);

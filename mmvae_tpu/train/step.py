@@ -352,9 +352,23 @@ def make_gather_epoch_runner(
     cross_recon: bool = False,
     reshuffle_every: int = 1,
     n_shards: int = 1,
+    shuffle_mode: str = "roll",
 ) -> Callable:
     """Epoch runner with shuffle AND gather INSIDE the program:
     ``(state, arrays) -> (state, arrays, metrics)``.
+
+    ``shuffle_mode`` picks the cheap between-reshuffles epoch (only
+    meaningful with ``reshuffle_every > 1``, single-shard):
+
+      * ``"roll"``: rotate the persisted arrays by a random offset --
+        batch COMPOSITION changes every epoch, at the cost of one full
+        streaming copy of the dataset.
+      * ``"block"``: leave the arrays untouched; the scan reads each
+        step's batch as a ``lax.dynamic_slice`` at a block-permuted
+        start -- batch ORDER is re-randomized with ZERO epoch-level
+        data movement (compositions stay fixed between true
+        reshuffles). The between-epoch rung of the ladder becomes free;
+        see the measured ladder below.
 
     ``arrays`` is the whole device-resident training set (one copy, any
     dtype; DONATED -- rebind it to the returned arrays each epoch). The
@@ -405,6 +419,13 @@ def make_gather_epoch_runner(
         cross_recon=cross_recon,
     )
     n_used = n_steps * batch_size
+    if shuffle_mode not in ("roll", "block"):
+        raise ValueError(f"unknown shuffle_mode {shuffle_mode!r}")
+    if shuffle_mode == "block" and n_shards > 1:
+        raise ValueError(
+            "shuffle_mode='block' composes with the single-shard path "
+            "only (the mesh path's per-shard roll is already local)"
+        )
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def run_epoch(state, arrays, force_shuffle=False):
@@ -491,6 +512,37 @@ def make_gather_epoch_runner(
                 )
 
             stacked = jax.tree.map(stack, arrays)
+        elif shuffle_mode == "block" and reshuffle_every > 1:
+            # Zero-copy between-reshuffle epochs: the persisted arrays
+            # are read in place; each scan step dynamic-slices one
+            # contiguous batch at a block-permuted start. True-shuffle
+            # epochs (row-gather) read the freshly permuted data in
+            # identity order, making them bit-identical to the "roll"
+            # mode's shuffle epochs.
+            is_shuffle = jnp.logical_or(
+                (epoch_i % reshuffle_every) == 0,
+                jnp.asarray(force_shuffle),
+            )
+            arrays = jax.lax.cond(
+                is_shuffle, reshuffled, lambda a: a, arrays
+            )
+            perm = jax.random.permutation(roll_rng, n_steps)
+            starts = (
+                jnp.where(is_shuffle, jnp.arange(n_steps), perm)
+                * batch_size
+            )
+
+            def body_block(state, start):
+                batch = jax.tree.map(
+                    lambda v: jax.lax.dynamic_slice_in_dim(
+                        v, start, batch_size, axis=0
+                    ),
+                    arrays,
+                )
+                return impl(state, batch)
+
+            state, ms = jax.lax.scan(body_block, state, starts)
+            return state, arrays, ms
         else:
 
             def rolled(ars):

@@ -186,3 +186,95 @@ def test_corrupt_checkpoint_fails_loudly(tmp_path):
                     fh.write(b"corrupt")
     with pytest.raises(Exception):
         load_checkpoint(str(tmp_path), state, which="last")
+
+
+def test_runner_caches_are_bounded():
+    """The eval/IWAE runner memo caches evict FIFO past the cap
+    (round-2 VERDICT weak #8: a long-lived notebook over many configs
+    would otherwise leak one compiled program per config forever)."""
+    from mmvae_tpu import api
+
+    cache = {}
+    made = []
+    for i in range(api._RUNNER_CACHE_MAX + 5):
+        r = api._memo_runner(cache, i, lambda i=i: made.append(i) or (lambda: i))
+        assert r() == i
+    assert len(cache) == api._RUNNER_CACHE_MAX
+    assert 0 not in cache and 4 not in cache  # oldest evicted
+    # Cached key returns the same runner without rebuilding.
+    n = len(made)
+    r = api._memo_runner(cache, api._RUNNER_CACHE_MAX + 4, lambda: 1 / 0)
+    assert len(made) == n
+    # Unhashable key -> fresh runner, no crash.
+    assert api._memo_runner(cache, {}, lambda: (lambda: "fresh"))() == "fresh"
+
+
+def test_block_shuffle_mode_matches_roll_on_shuffle_epochs():
+    """shuffle_mode='block' (zero-copy between-reshuffle epochs): the
+    true-shuffle epoch is bit-identical to roll mode (same permutation,
+    identity read order), block epochs leave the donated arrays
+    untouched, and training stays finite."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmvae_tpu.data import load_dataset
+    from mmvae_tpu.models import MnistMVAE
+    from mmvae_tpu.train import (
+        create_train_state,
+        make_gather_epoch_runner,
+    )
+
+    model = MnistMVAE(n_latents=8)
+    ds = load_dataset("mnist", n=64, seed=0)
+
+    def fresh(arrays):
+        return create_train_state(
+            model, {k: v[:16] for k, v in arrays.items()},
+            jax.random.key(0), 1e-3,
+        )
+
+    results = {}
+    for mode in ("roll", "block"):
+        runner = make_gather_epoch_runner(
+            model, 4, 16, annealing_steps=10,
+            reshuffle_every=4, shuffle_mode=mode,
+        )
+        arrs = {k: jnp.array(v) for k, v in ds.arrays.items()}
+        state = fresh(arrs)
+        losses, snaps = [], []
+        for ep in range(3):
+            state, arrs, ms = runner(state, arrs, ep == 0)
+            losses.append(np.asarray(ms["loss"]))
+            snaps.append(np.asarray(arrs["image"]).copy())
+        results[mode] = (losses, snaps)
+
+    # Epoch 1 is a true shuffle in both modes -> identical losses.
+    np.testing.assert_allclose(
+        results["roll"][0][0], results["block"][0][0], rtol=1e-6
+    )
+    # Block epochs 2-3 leave the arrays untouched (roll mode rotates).
+    np.testing.assert_array_equal(
+        results["block"][1][0], results["block"][1][2]
+    )
+    assert not np.array_equal(
+        results["roll"][1][0], results["roll"][1][2]
+    )
+    for losses, _ in results.values():
+        assert np.isfinite(np.concatenate(losses)).all()
+
+
+def test_block_shuffle_mode_rejects_mesh():
+    import pytest as _pytest
+
+    from mmvae_tpu.models import MnistMVAE
+    from mmvae_tpu.train import make_gather_epoch_runner
+
+    with _pytest.raises(ValueError, match="single-shard"):
+        make_gather_epoch_runner(
+            MnistMVAE(n_latents=8), 4, 16, reshuffle_every=4,
+            n_shards=8, shuffle_mode="block",
+        )
+    with _pytest.raises(ValueError, match="unknown shuffle_mode"):
+        make_gather_epoch_runner(
+            MnistMVAE(n_latents=8), 4, 16, shuffle_mode="zigzag"
+        )
