@@ -282,6 +282,10 @@ def train(
         runner = make_epoch_runner(
             model,
             out_state_shardings=out_state_shardings,
+            # Off-mesh (grain / single-device pre-stacked) epochs take
+            # the t-major fast fold; mesh epochs need the sharding-safe
+            # b-major fold (train/step.py::multi_term_loss).
+            term_fold="t" if mesh is None else "b",
             **runner_kwargs,
         )
     stacked_sharding = None

@@ -104,12 +104,26 @@ def multi_term_loss(
     sample: bool = True,
     cross_recon: bool = False,
     mesh=None,
+    term_fold: str = "b",
 ):
     """Total multi-term ELBO loss (batch mean) + per-term metrics.
 
     ``mesh``: when set, the decode+NLL pass is pinned row-sharded over
     the mesh's data axes (see ``_constrain_rows``) -- needed under FSDP,
     a no-op layout assertion under plain DP.
+
+    ``term_fold`` picks the order of the term-into-batch fold (the math
+    is identical either way; a parity test pins it):
+
+      * ``"b"`` (default, sharding-safe): term axis MINOR -- the sharded
+        batch axis stays outermost, so the fold is GSPMD-representable
+        and the decode+NLL pass runs data-parallel under a mesh.
+      * ``"t"`` (single-device fast path): term axis MAJOR -- the k-fold
+        target broadcast is a contiguous whole-array repeat that XLA
+        streams from HBM; measured 2x faster than the b-major row
+        repeat on the bf16/4096 MNIST point (2.9M vs 1.45M samples/s).
+        NOT mesh-safe (the round-2 SPMD full-remat); callers on a mesh
+        must use "b".
 
     ``batch`` maps modality names to targets, plus an optional
     ``"presence"`` key: ``(B, M)`` float mask of which modalities each
@@ -137,50 +151,93 @@ def multi_term_loss(
 
     variables = {"params": params}
     mu_e, lv_e = model.apply(variables, data, method="encode")  # (B, M, L)
-
-    # Effective fusion mask per (example, term, modality). The term axis
-    # sits MINOR to the batch axis everywhere below so the batch-sharded
-    # mesh layout survives the term fold (see _tile_terms).
-    eff = masks[None]  # (1, T, M)
-    if presence is not None:
-        eff = eff * presence[:, None]  # (B, T, M)
-    else:
-        eff = jnp.broadcast_to(eff, (mu_e.shape[0], n_terms, n_mod))
-
-    fused_mu, fused_lv = product_of_experts(
-        mu_e[:, None], lv_e[:, None], mask=eff
-    )  # (B, T, L)
-    z = reparameterize(rng_z, fused_mu, fused_lv, sample=sample)
-
-    # Fold terms into batch (b-major): one big decoder pass.
     batch_size = mu_e.shape[0]
-    z_flat = z.reshape((batch_size * n_terms, -1))
-    # Decoders only read the batch for teacher forcing of sequence
-    # modalities -- tile just those (tiny integer arrays). Targets stay
-    # UNTILED: the ops-layer NLLs map term-tiled decoder rows onto one
-    # copy of the targets (Pallas block index map / fused jnp
-    # broadcast), so the k-fold image-target copy never hits HBM.
     seq_names = [s.name for s in model.specs() if s.kind == "seq"]
-    decode_batch = (
-        _tile_terms({k: data[k] for k in seq_names}, n_terms)
-        if seq_names
-        else None
-    )
-    if mesh is not None:
-        z_flat = _constrain_rows(z_flat, mesh)
-    recons = model.apply(variables, z_flat, decode_batch, method="decode")
-    if mesh is not None:
-        recons = _constrain_rows(recons, mesh)
-    nll_flat = model.apply(
-        variables, recons, data, method="nll_all"
-    )  # (M, B*T) b-major rows
-    nll = nll_flat.reshape((n_mod, batch_size, n_terms)).transpose(2, 0, 1)
+
+    if term_fold == "t":
+        # T-MAJOR single-device fast path: the term axis leads, so every
+        # tiled operand is a contiguous whole-array repeat -- XLA
+        # streams one copy of the targets from HBM per term instead of
+        # row-interleaved reads (2x on the bf16/4096 point). Targets are
+        # tiled via broadcast_to+reshape right here, which XLA fuses
+        # into the NLL -- the k-fold copy never materializes.
+        eff = masks[:, None, :]  # (T, 1, M)
+        if presence is not None:
+            eff = eff * presence[None]  # (T, B, M)
+        else:
+            eff = jnp.broadcast_to(eff, (n_terms, batch_size, n_mod))
+        fused_mu, fused_lv = product_of_experts(
+            mu_e[None], lv_e[None], mask=eff
+        )  # (T, B, L)
+        z = reparameterize(rng_z, fused_mu, fused_lv, sample=sample)
+        z_flat = z.reshape((n_terms * batch_size, -1))
+
+        def tile_t(tree):
+            return jax.tree.map(
+                lambda x: jnp.broadcast_to(
+                    x[None], (n_terms,) + x.shape
+                ).reshape((n_terms * x.shape[0],) + x.shape[1:]),
+                tree,
+            )
+
+        decode_batch = (
+            tile_t({k: data[k] for k in seq_names}) if seq_names else None
+        )
+        recons = model.apply(
+            variables, z_flat, decode_batch, method="decode"
+        )
+        nll_flat = model.apply(
+            variables, recons, tile_t(data), method="nll_all"
+        )  # (M, T*B) t-major rows
+        nll = nll_flat.reshape((n_mod, n_terms, batch_size)).swapaxes(
+            0, 1
+        )
+        kl = kl_std_normal(fused_mu, fused_lv)  # (T, B)
+    elif term_fold == "b":
+        # B-MAJOR sharding-safe path: the term axis sits MINOR to the
+        # batch axis everywhere, so the batch-sharded mesh layout
+        # survives the term fold (see _tile_terms) and the decode+NLL
+        # pass runs data-parallel under GSPMD.
+        eff = masks[None]  # (1, T, M)
+        if presence is not None:
+            eff = eff * presence[:, None]  # (B, T, M)
+        else:
+            eff = jnp.broadcast_to(eff, (batch_size, n_terms, n_mod))
+
+        fused_mu, fused_lv = product_of_experts(
+            mu_e[:, None], lv_e[:, None], mask=eff
+        )  # (B, T, L)
+        z = reparameterize(rng_z, fused_mu, fused_lv, sample=sample)
+        z_flat = z.reshape((batch_size * n_terms, -1))
+        # Decoders only read the batch for teacher forcing of sequence
+        # modalities -- tile just those (tiny integer arrays). Targets
+        # stay UNTILED: the ops-layer NLLs map term-tiled decoder rows
+        # onto one copy of the targets (fused jnp broadcast).
+        decode_batch = (
+            _tile_terms({k: data[k] for k in seq_names}, n_terms)
+            if seq_names
+            else None
+        )
+        if mesh is not None:
+            z_flat = _constrain_rows(z_flat, mesh)
+        recons = model.apply(
+            variables, z_flat, decode_batch, method="decode"
+        )
+        if mesh is not None:
+            recons = _constrain_rows(recons, mesh)
+        nll_flat = model.apply(
+            variables, recons, data, method="nll_all"
+        )  # (M, B*T) b-major rows
+        nll = nll_flat.reshape(
+            (n_mod, batch_size, n_terms)
+        ).transpose(2, 0, 1)
+        kl = kl_std_normal(fused_mu, fused_lv).T  # (B, T) -> (T, B)
+    else:
+        raise ValueError(f"unknown term_fold {term_fold!r}")
 
     if presence is not None:
         # Unobserved modalities are not recon targets either.
         nll = nll * presence.T[None]  # (T, M, B) * (1, M, B)
-
-    kl = kl_std_normal(fused_mu, fused_lv).T  # (B, T) -> (T, B)
     if cross_recon:
         # Every modality is a target for every subset posterior -- except
         # for an all-empty subset (possible when random subsets are drawn
@@ -203,6 +260,7 @@ def make_train_step(
     p_modality_drop: float = 0.0,
     cross_recon: bool = False,
     out_state_shardings=None,
+    term_fold: str = "b",
 ) -> Callable:
     """Build the jitted train step: ``(state, batch) -> (state, metrics)``.
 
@@ -225,6 +283,7 @@ def make_train_step(
         p_modality_drop=p_modality_drop,
         cross_recon=cross_recon,
         mesh=_mesh_of(out_state_shardings),
+        term_fold=term_fold,
     )
     if out_state_shardings is None:
         return jax.jit(impl, donate_argnums=0)
@@ -252,6 +311,7 @@ def _train_step_impl(
     p_modality_drop: float,
     cross_recon: bool = False,
     mesh=None,
+    term_fold: str = "b",
 ) -> Callable:
     """Unjitted step body, shared by the per-step jit and the epoch scan."""
 
@@ -282,6 +342,7 @@ def _train_step_impl(
                 sample=True,
                 cross_recon=cross_recon,
                 mesh=mesh,
+                term_fold=term_fold,
             )
             return loss, metrics
 
@@ -304,6 +365,7 @@ def make_epoch_runner(
     p_modality_drop: float = 0.0,
     cross_recon: bool = False,
     out_state_shardings=None,
+    term_fold: str = "b",
 ) -> Callable:
     """Build the scan-fused epoch runner: ``(state, batches) -> ...``.
 
@@ -323,6 +385,7 @@ def make_epoch_runner(
         p_modality_drop=p_modality_drop,
         cross_recon=cross_recon,
         mesh=_mesh_of(out_state_shardings),
+        term_fold=term_fold,
     )
 
     def run_epoch(state, batches):
@@ -353,6 +416,7 @@ def make_gather_epoch_runner(
     reshuffle_every: int = 1,
     n_shards: int = 1,
     shuffle_mode: str = "roll",
+    term_fold: str | None = None,
 ) -> Callable:
     """Epoch runner with shuffle AND gather INSIDE the program:
     ``(state, arrays) -> (state, arrays, metrics)``.
@@ -411,12 +475,17 @@ def make_gather_epoch_runner(
     relies on that. ``reshuffle_every`` amortizes the per-shard gather
     exactly as in the single-device path (local rotation in between).
     """
+    if term_fold is None:
+        # Single-shard epochs take the t-major fast fold; mesh epochs
+        # need the sharding-safe b-major fold (see multi_term_loss).
+        term_fold = "t" if n_shards <= 1 else "b"
     impl = _train_step_impl(
         model,
         n_random_subsets=n_random_subsets,
         annealing_steps=annealing_steps,
         p_modality_drop=p_modality_drop,
         cross_recon=cross_recon,
+        term_fold=term_fold,
     )
     n_used = n_steps * batch_size
     if shuffle_mode not in ("roll", "block"):
@@ -590,7 +659,9 @@ def make_gather_epoch_runner(
 
 
 def make_eval_step(model) -> Callable:
-    """Jitted eval step: full ELBO, beta=1, z=mu (SURVEY.md 3c)."""
+    """Jitted eval step: full ELBO, beta=1, z=mu (SURVEY.md 3c).
+
+    Single-device surface (api.eval paths) -- takes the t-major fold."""
 
     @partial(jax.jit, static_argnames=())
     def eval_step(params, batch):
@@ -602,6 +673,7 @@ def make_eval_step(model) -> Callable:
             beta=1.0,
             n_random_subsets=0,
             sample=False,
+            term_fold="t",
         )
         return metrics
 
@@ -624,6 +696,7 @@ def make_eval_runner(model) -> Callable:
                 beta=1.0,
                 n_random_subsets=0,
                 sample=False,
+                term_fold="t",
             )
             return None, metrics
 

@@ -278,3 +278,56 @@ def test_block_shuffle_mode_rejects_mesh():
         make_gather_epoch_runner(
             MnistMVAE(n_latents=8), 4, 16, shuffle_mode="zigzag"
         )
+
+
+def test_term_fold_orders_agree():
+    """The t-major (single-device fast) and b-major (sharding-safe)
+    term folds are the same math -- with z = mu (sample=False) loss and
+    every metric must agree exactly on identical inputs, with and
+    without presence masks / cross-recon. (With sampling the eps draw
+    layouts differ -- same distribution, different per-draw values, like
+    a different seed.)"""
+    import jax
+
+    from mmvae_tpu.data import load_dataset
+    from mmvae_tpu.models import MnistMVAE
+    from mmvae_tpu.train import create_train_state, multi_term_loss
+
+    model = MnistMVAE(n_latents=8)
+    ds = load_dataset("mnist", n=16, seed=0)
+    batch = dict(ds.arrays)
+    state = create_train_state(model, batch, jax.random.key(0), 1e-3)
+    presence = (
+        np.random.default_rng(0)
+        .random((16, model.n_modalities))
+        .astype(np.float32)
+        > 0.3
+    ).astype(np.float32)
+    presence[0] = 1.0  # at least one fully-observed row
+
+    for extra in (
+        {},
+        {"cross_recon": True, "n_random_subsets": 2},
+    ):
+        for with_presence in (False, True):
+            b = dict(batch)
+            if with_presence:
+                b["presence"] = presence
+            outs = {}
+            for fold in ("t", "b"):
+                loss, metrics = multi_term_loss(
+                    model, state.params, b, jax.random.key(3), 0.7,
+                    term_fold=fold, sample=False, **extra,
+                )
+                outs[fold] = (float(loss), metrics)
+            np.testing.assert_allclose(
+                outs["t"][0], outs["b"][0], rtol=1e-5
+            )
+            for k in outs["t"][1]:
+                np.testing.assert_allclose(
+                    np.asarray(outs["t"][1][k]),
+                    np.asarray(outs["b"][1][k]),
+                    rtol=1e-4,
+                    atol=1e-5,
+                    err_msg=k,
+                )

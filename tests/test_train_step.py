@@ -265,9 +265,12 @@ def test_gather_epoch_runner_matches_stacked():
     stacked = {
         k: jnp.take(v, order, axis=0) for k, v in ds.arrays.items()
     }
-    s1, ms1 = make_epoch_runner(model, annealing_steps=10)(
-        s_ref.replace(rng=rng_after), stacked
-    )
+    # Same t-major fold as the single-shard gather runner (the eps draw
+    # layout differs between folds, so the folds must match for
+    # step-exact trajectories).
+    s1, ms1 = make_epoch_runner(
+        model, annealing_steps=10, term_fold="t"
+    )(s_ref.replace(rng=rng_after), stacked)
     np.testing.assert_allclose(
         np.asarray(ms1["loss"]), np.asarray(ms2["loss"]), rtol=1e-6
     )
