@@ -32,3 +32,11 @@ python tools/quality_check.py cub $RUNS/cub
 
 python bench.py
 python bench.py celeba
+
+# CUB at 128x128 (round 3): the largest configuration -- promoted
+# capacity settings + 5-level conv stack + grad clipping (unclipped,
+# the 128x128 run loss-spikes 20x by epoch 12).
+python -m mmvae_tpu.cli train --config cub --workdir $RUNS/cub128 \
+  --config-file tools/cub128.json
+python tools/quality_check.py cub $RUNS/cub128
+python -m mmvae_tpu.cli eval --config cub --workdir $RUNS/cub128 --iwae-k 64
