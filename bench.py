@@ -350,6 +350,7 @@ def celeba_cpu_baseline() -> float:
 def measure_jax_celeba(
     batch: int = 64, steps: int = 50, dtype: str = "float32",
     data_dtype: str = "float32", reshuffle_every: int = 1,
+    space_to_depth: int = 1,
 ) -> dict:
     import numpy as np
 
@@ -366,6 +367,7 @@ def measure_jax_celeba(
     model = CelebAMVAE(
         n_latents=100,
         dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+        space_to_depth=space_to_depth,
     )
     ds = load_dataset("celeba", n=batch * steps, seed=0)
     state = create_train_state(

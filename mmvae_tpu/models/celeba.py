@@ -35,6 +35,10 @@ class CelebAMVAE(MVAEBase):
     lambda_image: float = 1.0
     lambda_attr: float = 10.0
     conv_features: tuple[int, ...] = (32, 64, 128, 256)
+    # 2 folds 2x2 patches into channels at the image input/output stage
+    # (experts.py ConvEncoder/DeconvDecoder.space_to_depth); perf knob,
+    # default is the reference-shaped stack
+    space_to_depth: int = 1
     dtype: jnp.dtype = jnp.float32
 
     def specs(self):
@@ -46,12 +50,14 @@ class CelebAMVAE(MVAEBase):
     def setup(self):
         kw = dict(dtype=self.dtype)
         self.image_enc = ConvEncoder(
-            self.n_latents, features=self.conv_features, **kw
+            self.n_latents, features=self.conv_features,
+            space_to_depth=self.space_to_depth, **kw
         )
         self.image_dec = DeconvDecoder(
             self.image_hw,
             channels=3,
             features=tuple(reversed(self.conv_features)),
+            space_to_depth=self.space_to_depth,
             **kw,
         )
         self.attr_enc = AttributeEncoderBank(

@@ -129,18 +129,29 @@ class ConvEncoder(nn.Module):
     features: Sequence[int] = (32, 64)
     fc_hidden: int = 512
     dtype: jnp.dtype = jnp.float32
+    # space_to_depth=2: rearrange (H,W,C)->(H/2,W/2,4C) and make the
+    # first stage a 2x2/1 conv over 4C channels instead of a 4x4/2 conv
+    # over C. Same receptive field, same parameter count (2*2*4C == 4*4*C
+    # per filter), same output shape -- but the contracting dim quadruples
+    # (12 vs 3 input channels on RGB), filling more of the MXU's 128-lane
+    # contraction. Opt-in; default is the reference-shaped stack.
+    space_to_depth: int = 1
 
     @nn.compact
     def __call__(self, x):
         if x.ndim == 3:
             x = x[..., None]  # grayscale -> NHWC
         h = x.astype(self.dtype)
-        for feat in self.features:
+        first_kernel, first_stride = (4, 4), (2, 2)
+        if self.space_to_depth > 1:
+            h = _space_to_depth(h, self.space_to_depth)
+            first_kernel, first_stride = (2, 2), (1, 1)
+        for i, feat in enumerate(self.features):
             h = swish(
                 nn.Conv(
                     feat,
-                    (4, 4),
-                    strides=(2, 2),
+                    first_kernel if i == 0 else (4, 4),
+                    strides=first_stride if i == 0 else (2, 2),
                     padding="SAME",
                     dtype=self.dtype,
                 )(h)
@@ -150,6 +161,25 @@ class ConvEncoder(nn.Module):
         out = nn.Dense(2 * self.n_latents, dtype=self.dtype)(h)
         out = out.astype(jnp.float32)
         return out[:, : self.n_latents], out[:, self.n_latents :]
+
+
+def _space_to_depth(x, r: int):
+    """(B, H, W, C) -> (B, H/r, W/r, r*r*C) by folding r x r patches
+    into channels (the TPU-friendly input-stage rearrangement)."""
+    b, hh, ww, c = x.shape
+    x = x.reshape(b, hh // r, r, ww // r, r, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, hh // r, ww // r, r * r * c
+    )
+
+
+def _depth_to_space(x, r: int):
+    """Inverse of :func:`_space_to_depth`."""
+    b, hh, ww, c = x.shape
+    x = x.reshape(b, hh, ww, r, r, c // (r * r))
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, hh * r, ww * r, c // (r * r)
+    )
 
 
 class DeconvDecoder(nn.Module):
@@ -166,6 +196,12 @@ class DeconvDecoder(nn.Module):
     features: Sequence[int] = (64, 32)
     fc_hidden: int = 512
     dtype: jnp.dtype = jnp.float32
+    # space_to_depth=2: the output stage emits (H/2, W/2, 4*channels)
+    # via a 2x2/1 transposed conv and depth-to-space unpacks it to
+    # (H, W, channels) -- the mirror of ConvEncoder.space_to_depth
+    # (same parameter count, 4x the contracting width on the final
+    # few-channel stage). Opt-in.
+    space_to_depth: int = 1
 
     @nn.compact
     def __call__(self, z):
@@ -191,10 +227,18 @@ class DeconvDecoder(nn.Module):
                     dtype=self.dtype,
                 )(h)
             )
-        logits = nn.ConvTranspose(
-            self.channels, (4, 4), strides=(2, 2), padding="SAME",
-            dtype=self.dtype,
-        )(h).astype(jnp.float32)
+        if self.space_to_depth > 1:
+            r = self.space_to_depth
+            logits = nn.ConvTranspose(
+                self.channels * r * r, (2, 2), strides=(1, 1),
+                padding="SAME", dtype=self.dtype,
+            )(h)
+            logits = _depth_to_space(logits, r).astype(jnp.float32)
+        else:
+            logits = nn.ConvTranspose(
+                self.channels, (4, 4), strides=(2, 2), padding="SAME",
+                dtype=self.dtype,
+            )(h).astype(jnp.float32)
         # Handle non-power-of-two targets (e.g. 50x50 MultiMNIST canvases
         # decoded from a 64-ish grid): center-crop/pad to out_hw.
         gh, gw = logits.shape[1], logits.shape[2]

@@ -137,3 +137,40 @@ def test_cub_high_resolution():
         m, v["params"], b, jax.random.key(2), beta=0.5
     )
     assert np.isfinite(float(loss))
+
+
+def test_celeba_space_to_depth_variant_trains():
+    """space_to_depth=2 (MXU-friendly input/output conv stages) keeps
+    shapes and parameter count (within bias-size noise) and trains to a
+    finite loss; it is a perf knob, not a different model family."""
+    import jax
+    import numpy as np
+
+    from mmvae_tpu.models import CelebAMVAE
+    from mmvae_tpu.train import create_train_state, make_train_step
+
+    counts = {}
+    for s2d in (1, 2):
+        model = CelebAMVAE(
+            n_latents=16, image_hw=(16, 16), conv_features=(8, 16),
+            space_to_depth=s2d,
+        )
+        batch = model.dummy_batch(4)
+        state = create_train_state(
+            model, batch, jax.random.key(0), 1e-3
+        )
+        counts[s2d] = sum(
+            x.size for x in jax.tree.leaves(state.params)
+        )
+        step = make_train_step(model, annealing_steps=5)
+        state, m = step(state, batch)
+        assert np.isfinite(float(m["loss"]))
+        recons = model.apply(
+            {"params": state.params},
+            model.dummy_batch(2),
+            rng=jax.random.key(1),
+        )[0]
+        assert recons["image"].shape == (2, 16, 16, 3)
+    # 2x2/1-over-4C and 4x4/2-over-C stages have identical filter
+    # parameter counts; only the tiny output-stage bias differs.
+    assert abs(counts[1] - counts[2]) < 32
