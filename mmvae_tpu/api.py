@@ -221,6 +221,7 @@ def train(
         annealing_steps=annealing_steps,
         p_modality_drop=config.p_modality_drop,
         cross_recon=config.cross_recon,
+        cross_recon_weight=getattr(config, "cross_recon_weight", 1.0),
     )
     n_mesh_devices = 1 if mesh is None else int(mesh.devices.size)
     # The in-program shuffle+gather fast path composes with the DP mesh

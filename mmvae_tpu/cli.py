@@ -36,7 +36,7 @@ def _overrides(args, config):
         "log_interval", "train_size", "test_size", "n_random_subsets",
         "keep_epoch_ckpts", "ema_decay", "data_dtype",
         "reshuffle_every", "warmup_epochs", "lr_schedule",
-        "accum_steps", "shuffle_mode",
+        "accum_steps", "shuffle_mode", "cross_recon_weight",
     ):
         v = getattr(args, field, None)
         if v is not None:
@@ -111,6 +111,12 @@ def main(argv=None) -> int:
         "--reshuffle-every", dest="reshuffle_every", type=int,
         help="true device-side reshuffle every K epochs (rotation in "
         "between); K>1 amortizes the HBM row-gather",
+    )
+    pt.add_argument(
+        "--cross-recon-weight", dest="cross_recon_weight", type=float,
+        help="weight on cross-modal recon entries when --cross-recon "
+        "is on (>1 pressures unimodal posteriors toward cross-modal "
+        "generation)",
     )
     pt.add_argument(
         "--shuffle-mode", dest="shuffle_mode",

@@ -38,6 +38,9 @@ class ExperimentConfig:
     n_random_subsets: int = 0  # k sub-sampled modality combinations [B:5]
     p_modality_drop: float = 0.0  # data-side modality dropout [B:5]
     grad_clip: float = 0.0  # global-norm gradient clipping (0 = off)
+    cross_recon_weight: float = 1.0  # weight on CROSS recon entries
+    # (modality m from a subset without m) when cross_recon is on;
+    # >1 pressures unimodal posteriors toward cross-modal generation
     cross_recon: bool = False  # reconstruct all modalities from every
     # subset posterior (cross-modal supervision beyond reference
     # semantics; see docs/DESIGN.md section 9)

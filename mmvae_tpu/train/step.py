@@ -103,6 +103,7 @@ def multi_term_loss(
     n_random_subsets: int = 0,
     sample: bool = True,
     cross_recon: bool = False,
+    cross_recon_weight: float = 1.0,
     mesh=None,
     term_fold: str = "b",
 ):
@@ -246,7 +247,14 @@ def multi_term_loss(
         nonempty = (jnp.sum(masks, axis=-1, keepdims=True) > 0).astype(
             masks.dtype
         )
-        recon_masks = jnp.ones_like(masks) * nonempty
+        # Own-modality recon entries weigh 1; CROSS entries (modality m
+        # reconstructed from a subset that does not contain m) weigh
+        # ``cross_recon_weight`` -- >1 pressures the unimodal posteriors
+        # toward cross-modal generation (the MultiMNIST text-expert
+        # prior-collapse, BASELINE.md round-3 diagnosis).
+        recon_masks = (
+            masks + cross_recon_weight * (1.0 - masks)
+        ) * nonempty
     else:
         recon_masks = masks
     return elbo_terms(nll, kl, recon_masks, model.lambdas(), beta)
@@ -259,6 +267,7 @@ def make_train_step(
     annealing_steps: int = 0,
     p_modality_drop: float = 0.0,
     cross_recon: bool = False,
+    cross_recon_weight: float = 1.0,
     out_state_shardings=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -282,6 +291,7 @@ def make_train_step(
         annealing_steps=annealing_steps,
         p_modality_drop=p_modality_drop,
         cross_recon=cross_recon,
+        cross_recon_weight=cross_recon_weight,
         mesh=_mesh_of(out_state_shardings),
         term_fold=term_fold,
     )
@@ -310,6 +320,7 @@ def _train_step_impl(
     annealing_steps: int,
     p_modality_drop: float,
     cross_recon: bool = False,
+    cross_recon_weight: float = 1.0,
     mesh=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -341,6 +352,7 @@ def _train_step_impl(
                 n_random_subsets=n_random_subsets,
                 sample=True,
                 cross_recon=cross_recon,
+                cross_recon_weight=cross_recon_weight,
                 mesh=mesh,
                 term_fold=term_fold,
             )
@@ -364,6 +376,7 @@ def make_epoch_runner(
     annealing_steps: int = 0,
     p_modality_drop: float = 0.0,
     cross_recon: bool = False,
+    cross_recon_weight: float = 1.0,
     out_state_shardings=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -384,6 +397,7 @@ def make_epoch_runner(
         annealing_steps=annealing_steps,
         p_modality_drop=p_modality_drop,
         cross_recon=cross_recon,
+        cross_recon_weight=cross_recon_weight,
         mesh=_mesh_of(out_state_shardings),
         term_fold=term_fold,
     )
@@ -413,6 +427,7 @@ def make_gather_epoch_runner(
     annealing_steps: int = 0,
     p_modality_drop: float = 0.0,
     cross_recon: bool = False,
+    cross_recon_weight: float = 1.0,
     reshuffle_every: int = 1,
     n_shards: int = 1,
     shuffle_mode: str = "roll",
@@ -485,6 +500,7 @@ def make_gather_epoch_runner(
         annealing_steps=annealing_steps,
         p_modality_drop=p_modality_drop,
         cross_recon=cross_recon,
+        cross_recon_weight=cross_recon_weight,
         term_fold=term_fold,
     )
     n_used = n_steps * batch_size

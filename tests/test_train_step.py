@@ -438,3 +438,33 @@ def test_grad_accumulation_matches_big_batch():
         for b, i in zip(p_big, p_init)
     )
     assert 0.25 < du_acc / du_big < 4.0
+
+
+def test_cross_recon_weight():
+    """cross_recon_weight scales only the CROSS recon entries: w=1
+    reproduces plain cross_recon; w=0 reduces to reference semantics
+    (own-subset recon only); the loss is monotone in w."""
+    import numpy as np
+
+    from mmvae_tpu.data import load_dataset
+    from mmvae_tpu.models import MnistMVAE
+    from mmvae_tpu.train import create_train_state, multi_term_loss
+
+    model = MnistMVAE(n_latents=8)
+    ds = load_dataset("mnist", n=16, seed=0)
+    batch = dict(ds.arrays)
+    state = create_train_state(model, batch, jax.random.key(0), 1e-3)
+
+    def loss(w, cross=True):
+        val, _ = multi_term_loss(
+            model, state.params, batch, jax.random.key(1), 0.5,
+            cross_recon=cross, cross_recon_weight=w, sample=False,
+        )
+        return float(val)
+
+    np.testing.assert_allclose(loss(1.0), loss(1.0, cross=True))
+    np.testing.assert_allclose(loss(0.0), loss(0.0, cross=False),
+                               rtol=1e-6)
+    base = loss(0.0, cross=False)
+    np.testing.assert_allclose(base, loss(0.0), rtol=1e-6)
+    assert loss(0.5) > base and loss(1.0) > loss(0.5)
