@@ -29,6 +29,18 @@ class MultiMnistMVAE(MVAEBase):
     conv_features: tuple[int, ...] = (32, 64)
     text_embed: int = 64
     text_hidden: int = 128
+    # Content/style latent factorization (round-3 experiment on the
+    # text->image gap): when >0, the text expert constrains only the
+    # first ``text_latent_dims`` dims -- its emitted logvar on the rest
+    # is pinned at +11, which the PoE precision clamp turns into ~zero
+    # precision (core/poe.py), so those "style" dims stay at the prior
+    # under text-only conditioning. The digit string can never pin the
+    # digit POSITIONS; forcing the text expert to claim only a content
+    # slice lets position land in the style slice (trained by the
+    # image/joint terms), and text->image generation samples style from
+    # the prior for a concrete arrangement instead of the
+    # position-averaged haze. 0 = full-latent text expert (default).
+    text_latent_dims: int = 0
     dtype: jnp.dtype = jnp.float32
 
     def specs(self):
@@ -66,6 +78,14 @@ class MultiMnistMVAE(MVAEBase):
     def encode(self, batch):
         mu_i, lv_i = self.image_enc(batch["image"])
         mu_t, lv_t = self.text_enc(batch["text"])
+        if self.text_latent_dims > 0:
+            content = (
+                jnp.arange(self.n_latents) < self.text_latent_dims
+            )
+            mu_t = jnp.where(content, mu_t, 0.0)
+            # +11 -> precision ~1.7e-5 after the PoE clamp: the text
+            # expert contributes nothing on the style dims.
+            lv_t = jnp.where(content, lv_t, 11.0)
         return (
             jnp.stack([mu_i, mu_t], axis=1),
             jnp.stack([lv_i, lv_t], axis=1),
