@@ -222,6 +222,9 @@ def train(
         p_modality_drop=config.p_modality_drop,
         cross_recon=config.cross_recon,
         cross_recon_weight=getattr(config, "cross_recon_weight", 1.0),
+        cross_recon_stopgrad=getattr(
+            config, "cross_recon_stopgrad", False
+        ),
     )
     n_mesh_devices = 1 if mesh is None else int(mesh.devices.size)
     # The in-program shuffle+gather fast path composes with the DP mesh

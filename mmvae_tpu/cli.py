@@ -37,6 +37,7 @@ def _overrides(args, config):
         "keep_epoch_ckpts", "ema_decay", "data_dtype",
         "reshuffle_every", "warmup_epochs", "lr_schedule",
         "accum_steps", "shuffle_mode", "cross_recon_weight",
+        "cross_recon_stopgrad",
     ):
         v = getattr(args, field, None)
         if v is not None:
@@ -117,6 +118,12 @@ def main(argv=None) -> int:
         help="weight on cross-modal recon entries when --cross-recon "
         "is on (>1 pressures unimodal posteriors toward cross-modal "
         "generation)",
+    )
+    pt.add_argument(
+        "--cross-recon-stopgrad", dest="cross_recon_stopgrad",
+        action="store_true", default=None,
+        help="cross-modal recon entries update the encoders only "
+        "(decoder weights stop-gradiented in cross entries)",
     )
     pt.add_argument(
         "--shuffle-mode", dest="shuffle_mode",

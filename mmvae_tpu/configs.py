@@ -44,6 +44,9 @@ class ExperimentConfig:
     cross_recon: bool = False  # reconstruct all modalities from every
     # subset posterior (cross-modal supervision beyond reference
     # semantics; see docs/DESIGN.md section 9)
+    cross_recon_stopgrad: bool = False  # cross entries supervise the
+    # encoders only (decoder params stop-gradiented in cross recon --
+    # the cross-modal averaging gradient never reaches the decoder)
     train_size: int = 10000
     test_size: int = 2000
     log_interval: int = 100

@@ -93,6 +93,21 @@ def _constrain_rows(tree, mesh):
     return jax.tree.map(c, tree)
 
 
+def _sg_decoder_params(params):
+    """Copy of ``params`` with every decoder subtree stop-gradiented.
+
+    Decoder modules follow the ``*_dec`` naming convention across all
+    experiment models (``image_dec``, ``text_dec``, ``label_dec``,
+    ``attr_dec``). Used by ``cross_recon_stopgrad``: cross-modal recon
+    entries then supervise the ENCODERS only (gradient flows through z
+    and the decoder activations, not into the decoder weights).
+    """
+    return {
+        k: jax.lax.stop_gradient(v) if "dec" in k else v
+        for k, v in params.items()
+    }
+
+
 def multi_term_loss(
     model,
     params,
@@ -104,6 +119,7 @@ def multi_term_loss(
     sample: bool = True,
     cross_recon: bool = False,
     cross_recon_weight: float = 1.0,
+    cross_recon_stopgrad: bool = False,
     mesh=None,
     term_fold: str = "b",
 ):
@@ -184,15 +200,19 @@ def multi_term_loss(
         decode_batch = (
             tile_t({k: data[k] for k in seq_names}) if seq_names else None
         )
-        recons = model.apply(
-            variables, z_flat, decode_batch, method="decode"
-        )
-        nll_flat = model.apply(
-            variables, recons, tile_t(data), method="nll_all"
-        )  # (M, T*B) t-major rows
-        nll = nll_flat.reshape((n_mod, n_terms, batch_size)).swapaxes(
-            0, 1
-        )
+
+        def nll_of(vs):
+            recons = model.apply(
+                vs, z_flat, decode_batch, method="decode"
+            )
+            nll_flat = model.apply(
+                vs, recons, tile_t(data), method="nll_all"
+            )  # (M, T*B) t-major rows
+            return nll_flat.reshape(
+                (n_mod, n_terms, batch_size)
+            ).swapaxes(0, 1)
+
+        nll = nll_of(variables)
         kl = kl_std_normal(fused_mu, fused_lv)  # (T, B)
     elif term_fold == "b":
         # B-MAJOR sharding-safe path: the term axis sits MINOR to the
@@ -221,17 +241,21 @@ def multi_term_loss(
         )
         if mesh is not None:
             z_flat = _constrain_rows(z_flat, mesh)
-        recons = model.apply(
-            variables, z_flat, decode_batch, method="decode"
-        )
-        if mesh is not None:
-            recons = _constrain_rows(recons, mesh)
-        nll_flat = model.apply(
-            variables, recons, data, method="nll_all"
-        )  # (M, B*T) b-major rows
-        nll = nll_flat.reshape(
-            (n_mod, batch_size, n_terms)
-        ).transpose(2, 0, 1)
+
+        def nll_of(vs):
+            recons = model.apply(
+                vs, z_flat, decode_batch, method="decode"
+            )
+            if mesh is not None:
+                recons = _constrain_rows(recons, mesh)
+            nll_flat = model.apply(
+                vs, recons, data, method="nll_all"
+            )  # (M, B*T) b-major rows
+            return nll_flat.reshape(
+                (n_mod, batch_size, n_terms)
+            ).transpose(2, 0, 1)
+
+        nll = nll_of(variables)
         kl = kl_std_normal(fused_mu, fused_lv).T  # (B, T) -> (T, B)
     else:
         raise ValueError(f"unknown term_fold {term_fold!r}")
@@ -239,6 +263,21 @@ def multi_term_loss(
     if presence is not None:
         # Unobserved modalities are not recon targets either.
         nll = nll * presence.T[None]  # (T, M, B) * (1, M, B)
+    if cross_recon and cross_recon_stopgrad:
+        # Cross entries supervise the ENCODERS only: a second decode+NLL
+        # pass with stop-gradiented decoder params replaces the nll at
+        # every CROSS entry (forward value is identical, so the loss and
+        # metrics do not change -- only the backward path does). The
+        # averaging gradient of cross-modal targets (e.g. MultiMNIST's
+        # position-averaged haze, BASELINE.md round-3 diagnosis) then
+        # never reaches the decoder; it pulls the unimodal posteriors
+        # toward regions the joint-trained decoder already renders
+        # sharply instead.
+        nll_sg = nll_of({"params": _sg_decoder_params(params)})
+        if presence is not None:
+            nll_sg = nll_sg * presence.T[None]
+        own = masks[:, :, None]  # (T, M, 1)
+        nll = own * nll + (1.0 - own) * nll_sg
     if cross_recon:
         # Every modality is a target for every subset posterior -- except
         # for an all-empty subset (possible when random subsets are drawn
@@ -268,6 +307,7 @@ def make_train_step(
     p_modality_drop: float = 0.0,
     cross_recon: bool = False,
     cross_recon_weight: float = 1.0,
+    cross_recon_stopgrad: bool = False,
     out_state_shardings=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -292,6 +332,7 @@ def make_train_step(
         p_modality_drop=p_modality_drop,
         cross_recon=cross_recon,
         cross_recon_weight=cross_recon_weight,
+        cross_recon_stopgrad=cross_recon_stopgrad,
         mesh=_mesh_of(out_state_shardings),
         term_fold=term_fold,
     )
@@ -321,6 +362,7 @@ def _train_step_impl(
     p_modality_drop: float,
     cross_recon: bool = False,
     cross_recon_weight: float = 1.0,
+    cross_recon_stopgrad: bool = False,
     mesh=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -353,6 +395,7 @@ def _train_step_impl(
                 sample=True,
                 cross_recon=cross_recon,
                 cross_recon_weight=cross_recon_weight,
+        cross_recon_stopgrad=cross_recon_stopgrad,
                 mesh=mesh,
                 term_fold=term_fold,
             )
@@ -377,6 +420,7 @@ def make_epoch_runner(
     p_modality_drop: float = 0.0,
     cross_recon: bool = False,
     cross_recon_weight: float = 1.0,
+    cross_recon_stopgrad: bool = False,
     out_state_shardings=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -398,6 +442,7 @@ def make_epoch_runner(
         p_modality_drop=p_modality_drop,
         cross_recon=cross_recon,
         cross_recon_weight=cross_recon_weight,
+        cross_recon_stopgrad=cross_recon_stopgrad,
         mesh=_mesh_of(out_state_shardings),
         term_fold=term_fold,
     )
@@ -428,6 +473,7 @@ def make_gather_epoch_runner(
     p_modality_drop: float = 0.0,
     cross_recon: bool = False,
     cross_recon_weight: float = 1.0,
+    cross_recon_stopgrad: bool = False,
     reshuffle_every: int = 1,
     n_shards: int = 1,
     shuffle_mode: str = "roll",
@@ -501,6 +547,7 @@ def make_gather_epoch_runner(
         p_modality_drop=p_modality_drop,
         cross_recon=cross_recon,
         cross_recon_weight=cross_recon_weight,
+        cross_recon_stopgrad=cross_recon_stopgrad,
         term_fold=term_fold,
     )
     n_used = n_steps * batch_size

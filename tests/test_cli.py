@@ -165,10 +165,12 @@ def test_perf_flags_reach_config(tmp_path):
         "--epochs", "1", "--train-size", "64", "--test-size", "32",
         "--n-latents", "8", "--batch-size", "16", "--no-mesh",
         "--data-dtype", "bfloat16", "--reshuffle-every", "4",
-        "--ema-decay", "0.9",
+        "--ema-decay", "0.9", "--cross-recon", "--cross-recon-stopgrad",
     ])
     assert rc == 0
     saved = json_mod.loads((tmp_path / "run" / "config.json").read_text())
     assert saved["data_dtype"] == "bfloat16"
     assert saved["reshuffle_every"] == 4
     assert saved["ema_decay"] == 0.9
+    assert saved["cross_recon"] is True
+    assert saved["cross_recon_stopgrad"] is True

@@ -468,3 +468,61 @@ def test_cross_recon_weight():
     base = loss(0.0, cross=False)
     np.testing.assert_allclose(base, loss(0.0), rtol=1e-6)
     assert loss(0.5) > base and loss(1.0) > loss(0.5)
+
+
+def test_cross_recon_stopgrad_protects_decoders():
+    """``cross_recon_stopgrad``: the forward loss is unchanged, decoder
+    grads match plain (no-cross) semantics exactly, and encoder grads
+    still receive the cross supervision (both folds)."""
+    model, batch, state = _setup()
+    rng = jax.random.key(3)
+
+    for fold in ("t", "b"):
+        def grads(**kw):
+            def f(p):
+                return multi_term_loss(
+                    model, p, batch, rng, beta=0.7, term_fold=fold,
+                    **kw,
+                )[0]
+
+            return jax.grad(f)(state.params)
+
+        l_cross, _ = multi_term_loss(
+            model, state.params, batch, rng, beta=0.7, term_fold=fold,
+            cross_recon=True,
+        )
+        l_sg, _ = multi_term_loss(
+            model, state.params, batch, rng, beta=0.7, term_fold=fold,
+            cross_recon=True, cross_recon_stopgrad=True,
+        )
+        np.testing.assert_allclose(float(l_cross), float(l_sg), rtol=1e-6)
+
+        g_plain = grads()
+        g_sg = grads(cross_recon=True, cross_recon_stopgrad=True)
+        g_cross = grads(cross_recon=True)
+        for k in g_plain:
+            leaves_sg = jax.tree.leaves(g_sg[k])
+            if "dec" in k:
+                # Cross entries contribute nothing to decoder params:
+                # identical to no-cross-recon decoder grads.
+                ref = jax.tree.leaves(g_plain[k])
+                for a, b in zip(ref, leaves_sg):
+                    np.testing.assert_allclose(
+                        np.asarray(a), np.asarray(b), rtol=1e-5,
+                        atol=1e-7,
+                    )
+            else:
+                # Encoders DO see the cross supervision (differ from
+                # plain) and are not decoder-stopped (match full cross).
+                ref = jax.tree.leaves(g_cross[k])
+                diff = max(
+                    float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                    for a, b in zip(ref, leaves_sg)
+                )
+                assert diff < 1e-5, (fold, k, diff)
+                plain = jax.tree.leaves(g_plain[k])
+                moved = max(
+                    float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                    for a, b in zip(plain, leaves_sg)
+                )
+                assert moved > 1e-6, (fold, k)
