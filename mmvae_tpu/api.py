@@ -250,15 +250,6 @@ def train(
         from mmvae_tpu.train import make_gather_epoch_runner
 
         shuffle_mode = getattr(config, "shuffle_mode", "roll")
-        if shuffle_mode == "block" and n_mesh_devices > 1:
-            import warnings
-
-            warnings.warn(
-                "shuffle_mode='block' is single-device only; the mesh "
-                "path uses per-shard rolls",
-                stacklevel=2,
-            )
-            shuffle_mode = "roll"
         runner = make_gather_epoch_runner(
             model, steps_per_epoch, config.batch_size,
             reshuffle_every=config.reshuffle_every,

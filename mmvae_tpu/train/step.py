@@ -534,7 +534,11 @@ def make_gather_epoch_runner(
     mixes rows of all shards. The program is identical for a 1-device
     mesh with the same ``n_shards`` -- the fake-device parity test
     relies on that. ``reshuffle_every`` amortizes the per-shard gather
-    exactly as in the single-device path (local rotation in between).
+    exactly as in the single-device path: local rotation in between
+    (``"roll"``), or -- ``shuffle_mode="block"`` (round-3) -- zero-copy
+    epochs that dynamic-slice stratified batches at a block-permuted
+    start shared across shards, skipping both the roll copy and the
+    stratified re-stacking transpose.
     """
     if term_fold is None:
         # Single-shard epochs take the t-major fast fold; mesh epochs
@@ -553,11 +557,6 @@ def make_gather_epoch_runner(
     n_used = n_steps * batch_size
     if shuffle_mode not in ("roll", "block"):
         raise ValueError(f"unknown shuffle_mode {shuffle_mode!r}")
-    if shuffle_mode == "block" and n_shards > 1:
-        raise ValueError(
-            "shuffle_mode='block' composes with the single-shard path "
-            "only (the mesh path's per-shard roll is already local)"
-        )
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def run_epoch(state, arrays, force_shuffle=False):
@@ -615,6 +614,48 @@ def make_gather_epoch_runner(
 
                 return jax.tree.map(roll, ars)
 
+            if shuffle_mode == "block" and reshuffle_every > 1:
+                # Mesh twin of the single-device block mode: the
+                # persisted (batch-sharded) arrays are read in place;
+                # each scan step dynamic-slices rows [start, start +
+                # b_local) FROM EACH shard at a block-permuted start
+                # (shared across shards -- the slice runs local to
+                # every device, zero cross-chip bytes AND zero
+                # epoch-level data movement). True-shuffle epochs
+                # per-shard row-gather first and read in identity
+                # order, exactly like the roll mode's shuffle epochs.
+                is_shuffle = jnp.logical_or(
+                    (epoch_i % reshuffle_every) == 0,
+                    jnp.asarray(force_shuffle),
+                )
+                arrays = jax.lax.cond(
+                    is_shuffle, pershard_perm, lambda a: a, arrays
+                )
+                perm = jax.random.permutation(roll_rng, n_steps)
+                starts = (
+                    jnp.where(is_shuffle, jnp.arange(n_steps), perm)
+                    * b_local
+                )
+
+                def body_shard_block(state, start):
+                    def slice_shard(v):
+                        v3 = v.reshape((n_shards, per) + v.shape[1:])
+                        sl = jax.lax.dynamic_slice_in_dim(
+                            v3, start, b_local, axis=1
+                        )
+                        # Shard-major merge (same row order as the
+                        # stratified stacking) -- GSPMD-representable.
+                        return sl.reshape(
+                            (batch_size,) + v.shape[1:]
+                        )
+
+                    batch = jax.tree.map(slice_shard, arrays)
+                    return impl(state, batch)
+
+                state, ms = jax.lax.scan(
+                    body_shard_block, state, starts
+                )
+                return state, arrays, ms
             if reshuffle_every <= 1:
                 arrays = pershard_perm(arrays)
             else:

@@ -263,17 +263,19 @@ def test_block_shuffle_mode_matches_roll_on_shuffle_epochs():
         assert np.isfinite(np.concatenate(losses)).all()
 
 
-def test_block_shuffle_mode_rejects_mesh():
+def test_shuffle_mode_validation():
+    """block composes with the mesh (round-3 follow-up: the builder
+    accepts n_shards>1; full parity is pinned in tests/test_dp.py);
+    unknown modes still fail fast."""
     import pytest as _pytest
 
     from mmvae_tpu.models import MnistMVAE
     from mmvae_tpu.train import make_gather_epoch_runner
 
-    with _pytest.raises(ValueError, match="single-shard"):
-        make_gather_epoch_runner(
-            MnistMVAE(n_latents=8), 4, 16, reshuffle_every=4,
-            n_shards=8, shuffle_mode="block",
-        )
+    make_gather_epoch_runner(
+        MnistMVAE(n_latents=8), 4, 16, reshuffle_every=4,
+        n_shards=8, shuffle_mode="block",
+    )
     with _pytest.raises(ValueError, match="unknown shuffle_mode"):
         make_gather_epoch_runner(
             MnistMVAE(n_latents=8), 4, 16, shuffle_mode="zigzag"

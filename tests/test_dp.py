@@ -243,3 +243,80 @@ def test_celeba_dp_matches_single_device_and_no_allgather():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5
         )
+
+
+def test_block_mode_mesh_parity_and_no_collectives(setup):
+    """Round-3 follow-up: ``shuffle_mode="block"`` composes with the DP
+    mesh. Between true reshuffles the epoch must (a) leave the resident
+    arrays untouched (zero epoch-level data movement), (b) compile to a
+    program with zero data-movement collectives, and (c) -- the program
+    being a pure function of n_shards -- match the single-device run of
+    the same n_shards-structured arrays step for step."""
+    from mmvae_tpu.data import load_dataset
+    from mmvae_tpu.parallel import batch_sharding
+    from mmvae_tpu.train import make_gather_epoch_runner
+
+    model = MnistMVAE(n_latents=8)
+    ds = load_dataset("mnist", n=128, seed=0)
+
+    def fresh(arrays):
+        return create_train_state(
+            model,
+            {k: v[:16] for k, v in arrays.items()},
+            jax.random.key(0),
+            1e-3,
+        )
+
+    runner = make_gather_epoch_runner(
+        model, 8, 16, annealing_steps=10, reshuffle_every=4,
+        n_shards=8, shuffle_mode="block",
+    )
+
+    arrs1 = {k: jnp.array(v) for k, v in ds.arrays.items()}
+    s1 = fresh(arrs1)
+    losses1 = []
+    for ep in range(3):
+        s1, arrs1, ms = runner(s1, arrs1, ep == 0)
+        losses1.append(np.asarray(ms["loss"]))
+
+    mesh = make_mesh()
+    sh = batch_sharding(mesh)
+    arrs8 = {
+        k: jax.device_put(np.asarray(v), sh)
+        for k, v in ds.arrays.items()
+    }
+    s8 = replicate(fresh(ds.arrays), mesh)
+
+    txt = runner.lower(s8, arrs8, True).compile().as_text()
+    offenders = [
+        line.strip()[:160]
+        for line in txt.splitlines()
+        if "all-gather" in line
+        or "all-to-all" in line
+        or "collective-permute" in line
+    ]
+    assert not offenders, offenders
+
+    losses8 = []
+    snap_after_shuffle = None
+    for ep in range(3):
+        s8, arrs8, ms = runner(s8, arrs8, ep == 0)
+        losses8.append(np.asarray(ms["loss"]))
+        if ep == 0:
+            snap_after_shuffle = jax.tree.map(np.asarray, arrs8)
+
+    # Block epochs between reshuffles read the arrays IN PLACE: epochs
+    # 2 and 3 (not multiples of reshuffle_every) must not have moved a
+    # byte of the resident data.
+    for k in snap_after_shuffle:
+        np.testing.assert_array_equal(
+            np.asarray(arrs8[k]), snap_after_shuffle[k]
+        )
+
+    np.testing.assert_allclose(
+        np.concatenate(losses1), np.concatenate(losses8), rtol=2e-4
+    )
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4
+        )
