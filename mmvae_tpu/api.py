@@ -254,6 +254,9 @@ def train(
             model, steps_per_epoch, config.batch_size,
             reshuffle_every=config.reshuffle_every,
             n_shards=n_mesh_devices, shuffle_mode=shuffle_mode,
+            shuffle_granularity=getattr(
+                config, "shuffle_granularity", 1
+            ),
             **runner_kwargs
         )
         if mesh is not None:

@@ -36,7 +36,8 @@ def _overrides(args, config):
         "log_interval", "train_size", "test_size", "n_random_subsets",
         "keep_epoch_ckpts", "ema_decay", "data_dtype",
         "reshuffle_every", "warmup_epochs", "lr_schedule",
-        "accum_steps", "shuffle_mode", "cross_recon_weight",
+        "accum_steps", "shuffle_mode", "shuffle_granularity",
+        "cross_recon_weight",
         "cross_recon_stopgrad",
     ):
         v = getattr(args, field, None)
@@ -124,6 +125,11 @@ def main(argv=None) -> int:
         action="store_true", default=None,
         help="cross-modal recon entries update the encoders only "
         "(decoder weights stop-gradiented in cross entries)",
+    )
+    pt.add_argument(
+        "--shuffle-granularity", dest="shuffle_granularity", type=int,
+        help="true-shuffle epochs permute contiguous G-row groups "
+        "(HBM-contiguous reads) instead of single rows; 1 = exact",
     )
     pt.add_argument(
         "--shuffle-mode", dest="shuffle_mode",

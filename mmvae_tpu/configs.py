@@ -66,6 +66,10 @@ class ExperimentConfig:
     # "cosine" (linear warmup over warmup_epochs -> cosine decay to 0
     # across the full run; optax schedule fed straight to Adam)
     warmup_epochs: int = 0  # linear LR warmup epochs (cosine schedule)
+    shuffle_granularity: int = 1  # true-shuffle epochs permute
+    # contiguous G-row groups (HBM-contiguous gather reads) instead of
+    # single rows; 1 = exact row shuffle. A per-shuffle boundary-offset
+    # roll keeps group membership from being permanent.
     reshuffle_every: int = 1  # true device-side reshuffle every K epochs
     # between-reshuffle epochs: "roll" rotates the resident arrays
     # (full streaming copy), "block" re-randomizes batch ORDER via

@@ -477,6 +477,7 @@ def make_gather_epoch_runner(
     reshuffle_every: int = 1,
     n_shards: int = 1,
     shuffle_mode: str = "roll",
+    shuffle_granularity: int = 1,
     term_fold: str | None = None,
 ) -> Callable:
     """Epoch runner with shuffle AND gather INSIDE the program:
@@ -516,6 +517,16 @@ def make_gather_epoch_runner(
     A per-step in-scan gather was measured too and LOSES at small
     batches (random-row reads every step: 506k vs 752k samples/s at
     the f32/100 reference point).
+
+    ``shuffle_granularity=G`` (G > 1) makes TRUE-shuffle epochs permute
+    contiguous G-row groups instead of single rows: the gather's minor
+    unit becomes a G-row chunk the compiler reads as one contiguous HBM
+    stretch. A random boundary-offset roll (< G rows) precedes each
+    group shuffle so group membership drifts across shuffles; the
+    remaining intra-epoch co-occurrence of G-row neighbors is the
+    standard chunked-shuffle trade. Applies to both the single-device
+    and per-shard mesh shuffles (falls back to exact rows when the
+    size does not divide).
 
     Mesh composition (``n_shards > 1``, round-3): the caller places
     ``arrays`` batch-sharded over the data mesh and passes the mesh
@@ -558,17 +569,42 @@ def make_gather_epoch_runner(
     if shuffle_mode not in ("roll", "block"):
         raise ValueError(f"unknown shuffle_mode {shuffle_mode!r}")
 
+    gran = max(int(shuffle_granularity), 1)
+
     @partial(jax.jit, donate_argnums=(0, 1))
     def run_epoch(state, arrays, force_shuffle=False):
-        shuffle_rng, roll_rng, rng = jax.random.split(state.rng, 3)
+        shuffle_rng, roll_rng, off_rng, rng = jax.random.split(
+            state.rng, 4
+        )
         state = state.replace(rng=rng)
         size = jax.tree.leaves(arrays)[0].shape[0]
 
         def reshuffled(ars):
-            order = jax.random.permutation(shuffle_rng, size)
-            return jax.tree.map(
-                lambda v: jnp.take(v, order, axis=0), ars
-            )
+            if gran <= 1 or size % gran:
+                order = jax.random.permutation(shuffle_rng, size)
+                return jax.tree.map(
+                    lambda v: jnp.take(v, order, axis=0), ars
+                )
+            # Tile-granular true shuffle: permute contiguous
+            # ``gran``-row groups, so the gather reads whole groups --
+            # HBM-contiguous DMA-sized chunks XLA can see (the group
+            # axis is a reshape, not index arithmetic) instead of
+            # scattered single rows. A random boundary-offset roll
+            # first (< gran rows) keeps group MEMBERSHIP from being
+            # permanent across shuffles; intra-group co-occurrence
+            # within one epoch is the standard chunked-shuffle
+            # compromise.
+            n_groups = size // gran
+            order = jax.random.permutation(shuffle_rng, n_groups)
+            off = jax.random.randint(off_rng, (), 0, gran)
+
+            def shuf(v):
+                v = jnp.roll(v, off, axis=0)
+                vg = v.reshape((n_groups, gran) + v.shape[1:])
+                vg = jnp.take(vg, order, axis=0)
+                return vg.reshape(v.shape)
+
+            return jax.tree.map(shuf, ars)
 
         epoch_i = state.step // jnp.int32(max(n_steps, 1))
         if n_shards > 1:
@@ -583,19 +619,32 @@ def make_gather_epoch_runner(
             def pershard_perm(ars):
                 # One independent permutation per shard; take_along_axis
                 # batches over the sharded axis, so each device gathers
-                # rows only from its own resident shard.
+                # rows only from its own resident shard. With
+                # ``shuffle_granularity`` > 1 the permutation indexes
+                # contiguous groups within each shard (the tile-granular
+                # shuffle, see ``reshuffled``), after a shared
+                # boundary-offset roll along the intra-shard axis.
+                g = gran if per % gran == 0 else 1
+                n_groups = per // g
                 keys = jax.random.split(shuffle_rng, n_shards)
                 idx = jax.vmap(
-                    lambda k: jax.random.permutation(k, per)
-                )(keys)  # (n_shards, per)
+                    lambda k: jax.random.permutation(k, n_groups)
+                )(keys)  # (n_shards, n_groups)
+                off = jax.random.randint(off_rng, (), 0, g)
 
                 def shuf(v):
                     v3 = v.reshape((n_shards, per) + v.shape[1:])
-                    ix = idx.reshape(
-                        (n_shards, per) + (1,) * (v.ndim - 1)
+                    if g > 1:
+                        v3 = jnp.roll(v3, off, axis=1)
+                    vg = v3.reshape(
+                        (n_shards, n_groups, g) + v.shape[1:]
                     )
-                    v3 = jnp.take_along_axis(v3, ix, axis=1)
-                    return v3.reshape(v.shape)
+                    ix = idx.reshape(
+                        (n_shards, n_groups, 1)
+                        + (1,) * (v.ndim - 1)
+                    )
+                    vg = jnp.take_along_axis(vg, ix, axis=1)
+                    return vg.reshape(v.shape)
 
                 return jax.tree.map(shuf, ars)
 

@@ -258,7 +258,9 @@ def test_gather_epoch_runner_matches_stacked():
 
     # Reproduce the device-side order + post-split rng on the host.
     s_ref = fresh()
-    shuffle_rng, _roll_rng, rng_after = jax.random.split(s_ref.rng, 3)
+    shuffle_rng, _roll_rng, _off_rng, rng_after = jax.random.split(
+        s_ref.rng, 4
+    )
     order = jax.random.permutation(shuffle_rng, ds.size)[
         : n_steps * batch
     ].reshape(n_steps, batch)
@@ -526,3 +528,50 @@ def test_cross_recon_stopgrad_protects_decoders():
                     for a, b in zip(plain, leaves_sg)
                 )
                 assert moved > 1e-6, (fold, k)
+
+
+def test_shuffle_granularity_group_structure():
+    """``shuffle_granularity=G``: true-shuffle epochs keep contiguous
+    G-row groups of the (boundary-rolled) previous order -- verify the
+    output is a permutation made of consecutive-mod-size runs of length
+    G -- and training still consumes every row exactly once."""
+    from mmvae_tpu.data import load_dataset
+    from mmvae_tpu.train import make_gather_epoch_runner
+
+    model = MnistMVAE(n_latents=8)
+    ds = load_dataset("mnist", n=128, seed=0)
+    gran = 8
+    runner = make_gather_epoch_runner(
+        model, 8, 16, annealing_steps=10, shuffle_granularity=gran
+    )
+    # Tag rows by a unique corner pixel so we can recover the order.
+    arrays = {k: np.asarray(v).copy() for k, v in ds.arrays.items()}
+    arrays["image"][:, 0, 0] = np.arange(128, dtype=np.float32) / 128.0
+    orig = arrays["image"][:, 0, 0].copy()
+    state = create_train_state(
+        model,
+        {k: v[:16] for k, v in arrays.items()},
+        jax.random.key(0),
+        1e-3,
+    )
+    arrs = {k: jnp.asarray(v) for k, v in arrays.items()}
+    for ep in range(2):
+        state, arrs, _ = runner(state, arrs, ep == 0)
+        tags = np.asarray(arrs["image"])[:, 0, 0]
+        # Permutation of the dataset: nothing lost or duplicated.
+        np.testing.assert_allclose(np.sort(tags), np.sort(orig))
+        # Recover original indices, check G-length consecutive runs
+        # (mod size, because of the boundary-offset roll).
+        idx = np.argsort(orig)[
+            np.searchsorted(np.sort(orig), tags)
+        ]
+        runs = idx.reshape(-1, gran)
+        deltas = np.diff(runs, axis=1) % 128
+        breaks = (deltas != 1).sum(axis=1)
+        if ep == 0:
+            # First shuffle acts on identity order: pure rolled groups.
+            assert (breaks == 0).all(), runs[:4]
+        else:
+            # Later shuffles act on group-permuted order; the offset
+            # roll lets a new group straddle one old group boundary.
+            assert (breaks <= 1).all(), runs[:4]
