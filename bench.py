@@ -219,6 +219,7 @@ def measure_jax(
     data_dtype: str = "float32",
     reshuffle_every: int = 1,
     shuffle_mode: str = "roll",
+    shuffle_granularity: int = 1,
 ) -> dict:
     """Samples/sec/chip (+ tflops/mfu) of the production train path: the
     lax.scan-fused epoch runner over device-resident data (what
@@ -251,6 +252,7 @@ def measure_jax(
     runner = make_gather_epoch_runner(
         model, steps, batch, annealing_steps=1000,
         reshuffle_every=reshuffle_every, shuffle_mode=shuffle_mode,
+        shuffle_granularity=shuffle_granularity,
     )
     if data_dtype == "bfloat16":
         from mmvae_tpu.data import dataset_astype
