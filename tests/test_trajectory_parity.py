@@ -1,0 +1,60 @@
+"""Trained-trajectory parity vs the eager-torch fixture (BASELINE.json
+"ELBO trajectory matches within noise"; SURVEY.md section 4, Parity row).
+
+The per-term tests pin the loss math at fixed weights; this pins the
+full training dynamics -- model + multi-term loss + Adam + float
+accumulation -- over a (tiny) deterministic run: identical init,
+identical batch order, z=mu on both sides, so any divergence is
+implementation drift. The full-scale measurement lives in
+tools/trajectory_parity.py; its numbers are in BASELINE.md.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+pytest.importorskip("torch")
+
+
+def test_deterministic_trained_trajectory_matches_torch():
+    import jax
+    import jax.numpy as jnp
+
+    from mmvae_tpu.data import load_dataset
+    from mmvae_tpu.models import MnistMVAE
+    from trajectory_parity import _epoch_perms, train_jax, train_torch
+
+    n_train, n_test, batch, epochs = 256, 128, 64, 2
+    ds = load_dataset("mnist", n=n_train + n_test, seed=0,
+                      device_put=False)
+    images = np.asarray(ds.arrays["image"], dtype=np.float32)
+    labels = np.asarray(ds.arrays["label"])
+    tr_i, te_i = images[:n_train], images[n_train:]
+    tr_l, te_l = labels[:n_train], labels[n_train:]
+    perms = _epoch_perms(np.random.default_rng(0), n_train, batch, epochs)
+
+    model = MnistMVAE(n_latents=16)
+    init_params = model.init(
+        jax.random.key(0),
+        {"image": jnp.asarray(tr_i[:8]), "label": jnp.asarray(tr_l[:8])},
+        rng=jax.random.key(1),
+    )["params"]
+
+    kw = dict(n_latents=16, annealing_steps=4, lr=1e-3)
+    jax_curve, _ = train_jax(tr_i, tr_l, te_i, te_l, perms,
+                             sample=False, seed=0, **kw)
+    torch_curve = train_torch(tr_i, tr_l, te_i, te_l, perms, init_params,
+                              sample=False, seed=0, **kw)
+
+    for j, t in zip(jax_curve, torch_curve):
+        rel = abs(j["test_elbo"] - t["test_elbo"]) / abs(t["test_elbo"])
+        # The 1% budget is the spec; float-precision agreement is what
+        # the implementations actually deliver (measured ~3e-6).
+        assert rel < 1e-3, (jax_curve, torch_curve)
+    # And training actually trained (the curve moved).
+    assert jax_curve[-1]["test_elbo"] < jax_curve[0]["test_elbo"]
