@@ -27,29 +27,34 @@ def test_deterministic_trained_trajectory_matches_torch():
 
     from mmvae_tpu.data import load_dataset
     from mmvae_tpu.models import MnistMVAE
-    from trajectory_parity import _epoch_perms, train_jax, train_torch
+    from trajectory_parity import (
+        _epoch_perms,
+        train_jax,
+        train_torch_mnist,
+    )
 
     n_train, n_test, batch, epochs = 256, 128, 64, 2
     ds = load_dataset("mnist", n=n_train + n_test, seed=0,
                       device_put=False)
     images = np.asarray(ds.arrays["image"], dtype=np.float32)
     labels = np.asarray(ds.arrays["label"])
-    tr_i, te_i = images[:n_train], images[n_train:]
-    tr_l, te_l = labels[:n_train], labels[n_train:]
+    train = {"image": images[:n_train], "label": labels[:n_train]}
+    test = {"image": images[n_train:], "label": labels[n_train:]}
     perms = _epoch_perms(np.random.default_rng(0), n_train, batch, epochs)
 
     model = MnistMVAE(n_latents=16)
     init_params = model.init(
         jax.random.key(0),
-        {"image": jnp.asarray(tr_i[:8]), "label": jnp.asarray(tr_l[:8])},
+        {k: jnp.asarray(v[:8]) for k, v in train.items()},
         rng=jax.random.key(1),
     )["params"]
 
-    kw = dict(n_latents=16, annealing_steps=4, lr=1e-3)
-    jax_curve, _ = train_jax(tr_i, tr_l, te_i, te_l, perms,
+    kw = dict(annealing_steps=4, lr=1e-3)
+    jax_curve, _ = train_jax(model, train, test, perms,
                              sample=False, seed=0, **kw)
-    torch_curve = train_torch(tr_i, tr_l, te_i, te_l, perms, init_params,
-                              sample=False, seed=0, **kw)
+    torch_curve = train_torch_mnist(train, test, perms, init_params,
+                                    sample=False, seed=0, n_latents=16,
+                                    **kw)
 
     for j, t in zip(jax_curve, torch_curve):
         rel = abs(j["test_elbo"] - t["test_elbo"]) / abs(t["test_elbo"])

@@ -363,3 +363,136 @@ def torch_celeba_multi_term_loss(
             ri, image, ra, attrs, subset, mu, lv, beta=beta
         )
     return total.mean()
+
+
+# ----------------------------------------------------------------------
+# Trainable CelebA twin: a parameter-registered torch module built
+# DIRECTLY from a flax CelebAMVAE param tree. Weights stay in flax
+# layout (kernels HWIO / einsum banks); forward does the permutes --
+# the exact mappings tests/test_parity_celeba.py verified empirically.
+# Exists for trained-TRAJECTORY parity (tools/trajectory_parity.py):
+# unlike TorchCelebAMVAE above (independent random init, separate attr
+# modules), this twin starts weight-identical to the JAX model and its
+# parameters are registered, so torch Adam can train it.
+# ----------------------------------------------------------------------
+
+
+class TorchCelebATwin(nn.Module):
+    def __init__(self, flax_params, n_latents, feats=(32, 64, 128, 256)):
+        super().__init__()
+        self.n_latents = n_latents
+        self.feats = tuple(feats)
+        self.params = nn.ParameterDict()
+        self._register("", flax_params)
+
+    def _register(self, prefix, tree):
+        for k, v in tree.items():
+            key = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                self._register(key, v)
+            else:
+                self.params[key] = nn.Parameter(
+                    torch.from_numpy(np.array(v, copy=True))
+                )
+
+    def _p(self, key):
+        return self.params[key]
+
+    def image_encode(self, x):  # (B, 64, 64, 3) NHWC in [0,1]
+        h = x.permute(0, 3, 1, 2)
+        for i in range(len(self.feats)):
+            w = self._p(f"image_enc/Conv_{i}/kernel").permute(3, 2, 0, 1)
+            b = self._p(f"image_enc/Conv_{i}/bias")
+            h = swish(F.conv2d(h, w, b, stride=2, padding=1))
+        h = h.permute(0, 2, 3, 1).flatten(1)  # flax flattens NHWC
+        h = swish(h @ self._p("image_enc/Dense_0/kernel")
+                  + self._p("image_enc/Dense_0/bias"))
+        o = (h @ self._p("image_enc/Dense_1/kernel")
+             + self._p("image_enc/Dense_1/bias"))
+        return o[:, : self.n_latents], o[:, self.n_latents:]
+
+    def attr_encode(self, attrs):  # (B, 18) float in {0,1}
+        a = attrs[..., None]
+        emb = self._p("attr_enc/embed")
+        h0 = emb[None, :, 0, :] * (1 - a) + emb[None, :, 1, :] * a
+        h = swish(torch.einsum("bae,aeh->bah", h0, self._p("attr_enc/w1"))
+                  + self._p("attr_enc/b1")[None])
+        o = (torch.einsum("bah,aho->bao", h, self._p("attr_enc/w2"))
+             + self._p("attr_enc/b2")[None])
+        return o[..., : self.n_latents], o[..., self.n_latents:]
+
+    def image_decode(self, z):
+        h = swish(z @ self._p("image_dec/Dense_0/kernel")
+                  + self._p("image_dec/Dense_0/bias"))
+        h = swish(h @ self._p("image_dec/Dense_1/kernel")
+                  + self._p("image_dec/Dense_1/bias"))
+        h = h.view(-1, 4, 4, self.feats[-1]).permute(0, 3, 1, 2)
+        n = len(self.feats)
+        for i in range(n - 1):
+            k = self._p(f"image_dec/ConvTranspose_{i}/kernel")
+            w = torch.flip(k, dims=(0, 1)).permute(2, 3, 0, 1)
+            b = self._p(f"image_dec/ConvTranspose_{i}/bias")
+            h = swish(F.conv_transpose2d(h, w, b, stride=2, padding=1))
+        k = self._p(f"image_dec/ConvTranspose_{n - 1}/kernel")
+        w = torch.flip(k, dims=(0, 1)).permute(2, 3, 0, 1)
+        b = self._p(f"image_dec/ConvTranspose_{n - 1}/bias")
+        h = F.conv_transpose2d(h, w, b, stride=2, padding=1)
+        return h.permute(0, 2, 3, 1)  # (B, 64, 64, 3) logits
+
+    def attr_decode(self, z):
+        h = swish(torch.einsum("bl,alh->bah", z, self._p("attr_dec/w1"))
+                  + self._p("attr_dec/b1")[None])
+        return (torch.einsum("bah,ah->ba", h, self._p("attr_dec/w2"))
+                + self._p("attr_dec/b2")[None])
+
+
+def torch_celeba_twin_loss(
+    twin, image, attrs, beta=1.0, sample=False, generator=None,
+    lambda_image=1.0, lambda_attr=10.0,
+):
+    """20 fixed terms (joint + image-only + 18 attr-only) on the twin --
+    the n_random_subsets=0 multi-term ELBO, batch mean. Random-subset
+    terms are excluded because the two frameworks draw them from
+    different RNGs; the fixed terms already exercise the 19-expert PoE.
+    """
+    n_mod = 1 + 18
+    mu_i, lv_i = twin.image_encode(image)
+    mu_a, lv_a = twin.attr_encode(attrs)
+    mus = torch.cat([mu_i[:, None], mu_a], dim=1)  # (B, 19, L)
+    lvs = torch.cat([lv_i[:, None], lv_a], dim=1)
+    prior = torch.zeros_like(mus[:, :1])
+    subsets = [[True] * n_mod] + [
+        [i == m for i in range(n_mod)] for m in range(n_mod)
+    ]
+    total = torch.zeros(image.shape[0])
+    for subset in subsets:
+        sel_mu = [prior] + [
+            mus[:, i: i + 1] for i in range(n_mod) if subset[i]
+        ]
+        sel_lv = [prior] + [
+            lvs[:, i: i + 1] for i in range(n_mod) if subset[i]
+        ]
+        mu, lv = torch_poe(torch.cat(sel_mu, 1), torch.cat(sel_lv, 1))
+        if sample:
+            eps = (
+                torch.randn(mu.shape, generator=generator)
+                if generator is not None else torch.randn_like(mu)
+            )
+            z = mu + eps * torch.exp(0.5 * lv)
+        else:
+            z = mu
+        loss = torch.zeros(image.shape[0])
+        if subset[0]:
+            ri = twin.image_decode(z)
+            loss = loss + lambda_image * F.binary_cross_entropy_with_logits(
+                ri.flatten(1), image.flatten(1), reduction="none"
+            ).sum(-1)
+        ra = twin.attr_decode(z)
+        for i in range(18):
+            if subset[1 + i]:
+                loss = loss + lambda_attr * F.binary_cross_entropy_with_logits(
+                    ra[:, i], attrs[:, i], reduction="none"
+                )
+        kl = -0.5 * torch.sum(1 + lv - mu.pow(2) - lv.exp(), dim=-1)
+        total = total + loss + beta * kl
+    return total.mean()

@@ -1,15 +1,16 @@
-"""ELBO *trajectory* parity: train the JAX MnistMVAE and the eager-torch
-fixture side by side and compare the curves.
+"""ELBO *trajectory* parity: train a JAX MVAE and its eager-torch twin
+side by side and compare the curves.
 
 BASELINE.json:5 demands test-ELBO parity "within 1%" and an ELBO
-trajectory that "matches within noise". The per-term parity tests
-(tests/test_parity_torch.py) pin the loss math at fixed weights; this
+trajectory that "matches within noise" on MNIST and CelebA. The
+per-term parity tests (tests/test_parity_torch.py,
+tests/test_parity_celeba.py) pin the loss math at fixed weights; this
 tool pins the full TRAINING DYNAMICS -- model + multi-term loss + Adam
 -- over a real run. The reference mount is empty (SURVEY.md section 0),
-so the in-repo torch fixture is the reference-family oracle.
+so the in-repo torch fixtures are the reference-family oracle.
 
 Two modes, both starting from IDENTICAL initial weights (flax init
-copied into the torch fixture) and fed IDENTICAL batch order:
+copied into the torch twin) and fed IDENTICAL batch order:
 
   deterministic  z = mu on both sides (sample=False): the trajectories
                  are deterministic, so ANY divergence is implementation
@@ -20,11 +21,17 @@ copied into the torch fixture) and fed IDENTICAL batch order:
   sampled        the real algorithm (reparameterized z) with each side
                  drawing its own noise, S seeds per side; eval is
                  deterministic. The JAX mean final test ELBO must land
-                 within the torch fixture's own seed spread -- "match
+                 within the torch twin's own seed spread -- "match
                  within noise" made literal.
 
-Run on CPU (the fixture is CPU-only):
-    python tools/trajectory_parity.py --epochs 12 --train-size 2048
+CelebA uses n_random_subsets=0 on BOTH sides (the random-subset terms
+draw from different RNGs by construction; the 20 fixed terms still
+exercise the 19-expert PoE, conv/deconv stacks, and the einsum attr
+banks).
+
+Run on CPU (the fixtures are CPU-only):
+    python tools/trajectory_parity.py --config mnist --epochs 12
+    python tools/trajectory_parity.py --config celeba
 Prints one JSON line per mode; exits non-zero if the deterministic
 deviation exceeds 1% or the sampled means differ by more than the
 combined seed spread (floored at 1%).
@@ -40,6 +47,15 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import numpy as np
+
+DEFAULTS = {
+    "mnist": dict(epochs=12, train_size=2048, test_size=512,
+                  batch_size=128, n_latents=32, annealing_epochs=6,
+                  seeds=3),
+    "celeba": dict(epochs=4, train_size=256, test_size=64,
+                   batch_size=32, n_latents=16, annealing_epochs=2,
+                   seeds=2),
+}
 
 
 def _beta(step: int, annealing_steps: int) -> float:
@@ -59,32 +75,32 @@ def _epoch_perms(rng: np.random.Generator, n: int, batch: int, epochs: int):
     ]
 
 
-def train_jax(images, labels, test_images, test_labels, perms, *,
-              n_latents, annealing_steps, lr, sample, seed):
+def train_jax(model, train_arrays, test_arrays, perms, *,
+              annealing_steps, lr, sample, seed):
+    """Train ``model`` (any MVAEBase) with plain optax Adam over the
+    fixed batch order; returns the per-epoch curve and final params.
+    ``*_arrays`` are numpy dicts keyed by modality."""
     import jax
     import jax.numpy as jnp
     import optax
 
-    from mmvae_tpu.models import MnistMVAE
     from mmvae_tpu.train import multi_term_loss
 
-    model = MnistMVAE(n_latents=n_latents)
-    init_batch = {
-        "image": jnp.asarray(images[:8]),
-        "label": jnp.asarray(labels[:8]),
-    }
+    train_j = {k: jnp.asarray(v) for k, v in train_arrays.items()}
+    test_j = {k: jnp.asarray(v) for k, v in test_arrays.items()}
     params = model.init(
-        jax.random.key(0), init_batch, rng=jax.random.key(1)
+        jax.random.key(0),
+        {k: v[:8] for k, v in train_j.items()},
+        rng=jax.random.key(1),
     )["params"]
     tx = optax.adam(lr)
     opt_state = tx.init(params)
 
     @jax.jit
-    def step(params, opt_state, image, label, rng, beta):
+    def step(params, opt_state, batch, rng, beta):
         def loss_fn(p):
             loss, _ = multi_term_loss(
-                model, p, {"image": image, "label": label}, rng, beta,
-                sample=sample,
+                model, p, batch, rng, beta, sample=sample,
             )
             return loss
 
@@ -95,24 +111,20 @@ def train_jax(images, labels, test_images, test_labels, perms, *,
     @jax.jit
     def eval_elbo(params):
         loss, _ = multi_term_loss(
-            model, params,
-            {"image": jnp.asarray(test_images),
-             "label": jnp.asarray(test_labels)},
-            jax.random.key(0), 1.0, sample=False,
+            model, params, test_j, jax.random.key(0), 1.0, sample=False,
         )
         return loss
 
     rng = jax.random.key(seed)
-    images_j = jnp.asarray(images)
-    labels_j = jnp.asarray(labels)
     curve = []
     global_step = 0
     for perm in perms:
         losses = []
         for rows in perm:
             rng, sub = jax.random.split(rng)
+            batch = {k: v[rows] for k, v in train_j.items()}
             params, opt_state, loss = step(
-                params, opt_state, images_j[rows], labels_j[rows], sub,
+                params, opt_state, batch, sub,
                 _beta(global_step, annealing_steps),
             )
             losses.append(loss)
@@ -124,9 +136,8 @@ def train_jax(images, labels, test_images, test_labels, perms, *,
     return curve, params
 
 
-def train_torch(images, labels, test_images, test_labels, perms,
-                init_flax_params, *, n_latents, annealing_steps, lr,
-                sample, seed):
+def train_torch_mnist(train_arrays, test_arrays, perms, init_flax_params,
+                      *, n_latents, annealing_steps, lr, sample, seed):
     import torch
 
     from torch_fixture import (
@@ -139,10 +150,10 @@ def train_torch(images, labels, test_images, test_labels, perms,
     tmodel = TorchMnistMVAE(n_latents=n_latents)
     copy_flax_params_to_torch(init_flax_params, tmodel)
     opt = torch.optim.Adam(tmodel.parameters(), lr=lr)
-    timages = torch.from_numpy(images)
-    tlabels = torch.from_numpy(labels).long()
-    t_test_i = torch.from_numpy(test_images)
-    t_test_l = torch.from_numpy(test_labels).long()
+    timages = torch.from_numpy(train_arrays["image"])
+    tlabels = torch.from_numpy(train_arrays["label"]).long()
+    t_test_i = torch.from_numpy(test_arrays["image"])
+    t_test_l = torch.from_numpy(test_arrays["label"]).long()
 
     curve = []
     global_step = 0
@@ -172,32 +183,104 @@ def train_torch(images, labels, test_images, test_labels, perms,
     return curve
 
 
+def train_torch_celeba(train_arrays, test_arrays, perms, init_flax_params,
+                       *, n_latents, annealing_steps, lr, sample, seed,
+                       feats=(32, 64, 128, 256)):
+    import torch
+
+    from torch_fixture import TorchCelebATwin, torch_celeba_twin_loss
+
+    torch.manual_seed(seed)
+    twin = TorchCelebATwin(init_flax_params, n_latents, feats=feats)
+    opt = torch.optim.Adam(twin.parameters(), lr=lr)
+    timages = torch.from_numpy(train_arrays["image"])
+    tattrs = torch.from_numpy(train_arrays["attrs"])
+    t_test_i = torch.from_numpy(test_arrays["image"])
+    t_test_a = torch.from_numpy(test_arrays["attrs"])
+
+    curve = []
+    global_step = 0
+    for perm in perms:
+        twin.train()
+        losses = []
+        for rows in perm:
+            rows_t = torch.from_numpy(rows)
+            opt.zero_grad()
+            loss = torch_celeba_twin_loss(
+                twin, timages[rows_t], tattrs[rows_t],
+                beta=_beta(global_step, annealing_steps), sample=sample,
+            )
+            loss.backward()
+            opt.step()
+            losses.append(loss.item())
+            global_step += 1
+        twin.eval()
+        with torch.no_grad():
+            test = torch_celeba_twin_loss(
+                twin, t_test_i, t_test_a, beta=1.0, sample=False
+            ).item()
+        curve.append({
+            "train_loss": float(np.mean(losses)),
+            "test_elbo": float(test),
+        })
+    return curve
+
+
+def _setup(config: str, args):
+    """Model + train/test numpy arrays + the torch-side trainer."""
+    from mmvae_tpu.data import load_dataset
+
+    if config == "mnist":
+        from mmvae_tpu.models import MnistMVAE
+
+        model = MnistMVAE(n_latents=args.n_latents)
+        ds = load_dataset("mnist", n=args.train_size + args.test_size,
+                          seed=0, device_put=False)
+        arrays = {
+            "image": np.asarray(ds.arrays["image"], dtype=np.float32),
+            "label": np.asarray(ds.arrays["label"]),
+        }
+        torch_trainer = train_torch_mnist
+    elif config == "celeba":
+        from mmvae_tpu.models import CelebAMVAE
+
+        model = CelebAMVAE(n_latents=args.n_latents)
+        ds = load_dataset("celeba", n=args.train_size + args.test_size,
+                          seed=0, device_put=False)
+        arrays = {
+            "image": np.asarray(ds.arrays["image"], dtype=np.float32),
+            "attrs": np.asarray(ds.arrays["attrs"], dtype=np.float32),
+        }
+        torch_trainer = train_torch_celeba
+    else:
+        raise SystemExit(f"unknown config {config!r}")
+    train = {k: v[: args.train_size] for k, v in arrays.items()}
+    test = {k: v[args.train_size:] for k, v in arrays.items()}
+    return model, train, test, torch_trainer
+
+
 def run(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=12)
-    ap.add_argument("--train-size", type=int, default=2048)
-    ap.add_argument("--test-size", type=int, default=512)
-    ap.add_argument("--batch-size", type=int, default=128)
-    ap.add_argument("--n-latents", type=int, default=32)
-    ap.add_argument("--annealing-epochs", type=int, default=6)
+    ap.add_argument("--config", choices=("mnist", "celeba"),
+                    default="mnist")
+    ap.add_argument("--epochs", type=int)
+    ap.add_argument("--train-size", type=int)
+    ap.add_argument("--test-size", type=int)
+    ap.add_argument("--batch-size", type=int)
+    ap.add_argument("--n-latents", type=int)
+    ap.add_argument("--annealing-epochs", type=int)
     ap.add_argument("--lr", type=float, default=1e-3)
-    ap.add_argument("--seeds", type=int, default=3,
+    ap.add_argument("--seeds", type=int,
                     help="seeds per side in sampled mode (0 = skip)")
     args = ap.parse_args(argv)
+    for k, v in DEFAULTS[args.config].items():
+        if getattr(args, k) is None:
+            setattr(args, k, v)
 
     import jax
+    import jax.numpy as jnp
 
-    from mmvae_tpu.data import load_dataset
-    from mmvae_tpu.models import MnistMVAE
-
-    ds = load_dataset(
-        "mnist", n=args.train_size + args.test_size, seed=0,
-        device_put=False,
-    )
-    images = np.asarray(ds.arrays["image"], dtype=np.float32)
-    labels = np.asarray(ds.arrays["label"])
-    tr_i, te_i = images[: args.train_size], images[args.train_size:]
-    tr_l, te_l = labels[: args.train_size], labels[args.train_size:]
+    model, train, test, torch_trainer = _setup(args.config, args)
     steps_per_epoch = args.train_size // args.batch_size
     annealing_steps = max(args.annealing_epochs * steps_per_epoch, 1)
     perms = _epoch_perms(
@@ -205,32 +288,29 @@ def run(argv=None) -> int:
         args.epochs,
     )
 
-    # Shared initial weights for every run below.
-    import jax.numpy as jnp
-
-    model = MnistMVAE(n_latents=args.n_latents)
+    # Shared initial weights for every run below (train_jax re-derives
+    # the identical tree from the same fixed init keys).
     init_params = model.init(
         jax.random.key(0),
-        {"image": jnp.asarray(tr_i[:8]), "label": jnp.asarray(tr_l[:8])},
+        {k: jnp.asarray(v[:8]) for k, v in train.items()},
         rng=jax.random.key(1),
     )["params"]
 
-    kw = dict(
-        n_latents=args.n_latents, annealing_steps=annealing_steps,
-        lr=args.lr,
-    )
+    jkw = dict(annealing_steps=annealing_steps, lr=args.lr)
+    tkw = dict(n_latents=args.n_latents, **jkw)
     ok = True
 
     # -- deterministic mode ------------------------------------------
-    jc, _ = train_jax(tr_i, tr_l, te_i, te_l, perms, sample=False,
-                      seed=0, **kw)
-    tc = train_torch(tr_i, tr_l, te_i, te_l, perms, init_params,
-                     sample=False, seed=0, **kw)
+    jc, _ = train_jax(model, train, test, perms, sample=False, seed=0,
+                      **jkw)
+    tc = torch_trainer(train, test, perms, init_params, sample=False,
+                       seed=0, **tkw)
     devs = [
         abs(j["test_elbo"] - t["test_elbo"]) / abs(t["test_elbo"])
         for j, t in zip(jc, tc)
     ]
     det = {
+        "config": args.config,
         "mode": "deterministic",
         "epochs": args.epochs,
         "final_test_elbo": {"jax": jc[-1]["test_elbo"],
@@ -248,16 +328,17 @@ def run(argv=None) -> int:
     if args.seeds > 0:
         j_final, t_final = [], []
         for s in range(args.seeds):
-            jc, _ = train_jax(tr_i, tr_l, te_i, te_l, perms, sample=True,
-                              seed=s, **kw)
+            jc, _ = train_jax(model, train, test, perms, sample=True,
+                              seed=s, **jkw)
             j_final.append(jc[-1]["test_elbo"])
-            tc = train_torch(tr_i, tr_l, te_i, te_l, perms, init_params,
-                             sample=True, seed=s, **kw)
+            tc = torch_trainer(train, test, perms, init_params,
+                               sample=True, seed=s, **tkw)
             t_final.append(tc[-1]["test_elbo"])
         jm, tm = float(np.mean(j_final)), float(np.mean(t_final))
         spread = (max(j_final) - min(j_final)) + (max(t_final) - min(t_final))
         tol = max(spread, 0.01 * abs(tm))
         samp = {
+            "config": args.config,
             "mode": "sampled",
             "seeds": args.seeds,
             "jax_final": [round(v, 3) for v in j_final],
