@@ -225,6 +225,9 @@ def train(
         cross_recon_stopgrad=getattr(
             config, "cross_recon_stopgrad", False
         ),
+        unimodal_align_weight=getattr(
+            config, "unimodal_align_weight", 0.0
+        ),
     )
     n_mesh_devices = 1 if mesh is None else int(mesh.devices.size)
     # The in-program shuffle+gather fast path composes with the DP mesh
@@ -335,21 +338,25 @@ def train(
             recons = np.asarray(ms["recon_per_term"])
             betas = np.asarray(ms["beta"])
             grad_norms = np.asarray(ms["grad_norm"])
+            align_kls = (
+                np.asarray(ms["align_kl"]) if "align_kl" in ms else None
+            )
             base_step = int(state.step) - len(losses)
             for i in range(0, len(losses), li):
-                writer.write(
-                    {
-                        "kind": "train",
-                        "epoch": epoch,
-                        "step": base_step + i + 1,
-                        "loss": losses[i],
-                        "beta": betas[i],
-                        "grad_norm": grad_norms[i],
-                        "elbo_per_term": per_term[i],
-                        "kl_per_term": kls[i],
-                        "recon_per_term": recons[i],
-                    }
-                )
+                rec = {
+                    "kind": "train",
+                    "epoch": epoch,
+                    "step": base_step + i + 1,
+                    "loss": losses[i],
+                    "beta": betas[i],
+                    "grad_norm": grad_norms[i],
+                    "elbo_per_term": per_term[i],
+                    "kl_per_term": kls[i],
+                    "recon_per_term": recons[i],
+                }
+                if align_kls is not None:
+                    rec["align_kl"] = align_kls[i]
+                writer.write(rec)
         meter = AverageMeter()
         meter.update(float(losses.mean()), len(losses) * config.batch_size)
         test_elbo = evaluate(state.eval_params)

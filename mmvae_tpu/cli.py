@@ -39,6 +39,7 @@ def _overrides(args, config):
         "accum_steps", "shuffle_mode", "shuffle_granularity",
         "cross_recon_weight",
         "cross_recon_stopgrad",
+        "unimodal_align_weight",
     ):
         v = getattr(args, field, None)
         if v is not None:
@@ -125,6 +126,12 @@ def main(argv=None) -> int:
         action="store_true", default=None,
         help="cross-modal recon entries update the encoders only "
         "(decoder weights stop-gradiented in cross entries)",
+    )
+    pt.add_argument(
+        "--unimodal-align-weight", dest="unimodal_align_weight",
+        type=float,
+        help="w * KL(q(z|S) || sg(q(z|joint))) over non-joint subset "
+        "terms: distill subset posteriors toward the joint one",
     )
     pt.add_argument(
         "--shuffle-granularity", dest="shuffle_granularity", type=int,

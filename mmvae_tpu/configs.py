@@ -47,6 +47,10 @@ class ExperimentConfig:
     cross_recon_stopgrad: bool = False  # cross entries supervise the
     # encoders only (decoder params stop-gradiented in cross recon --
     # the cross-modal averaging gradient never reaches the decoder)
+    unimodal_align_weight: float = 0.0  # w * KL(q(z|S) || sg(q(z|joint)))
+    # over every non-joint subset term: distill subset posteriors toward
+    # the (stop-gradiented) joint posterior -- encoder-side fix for
+    # unimodal experts that collapse to the prior (train/step.py)
     train_size: int = 10000
     test_size: int = 2000
     log_interval: int = 100

@@ -11,7 +11,11 @@ from mmvae_tpu.core.likelihoods import (
     categorical_nll,
     gaussian_nll,
 )
-from mmvae_tpu.core.elbo import kl_std_normal, elbo_terms
+from mmvae_tpu.core.elbo import (
+    elbo_terms,
+    kl_gauss_gauss,
+    kl_std_normal,
+)
 from mmvae_tpu.core.annealing import annealing_factor
 from mmvae_tpu.core.subsets import elbo_subset_masks, random_subset_masks
 from mmvae_tpu.core.iwae import iwae_bound
@@ -24,6 +28,7 @@ __all__ = [
     "categorical_nll",
     "gaussian_nll",
     "kl_std_normal",
+    "kl_gauss_gauss",
     "elbo_terms",
     "annealing_factor",
     "elbo_subset_masks",

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["kl_std_normal", "elbo_terms"]
+__all__ = ["kl_std_normal", "kl_gauss_gauss", "elbo_terms"]
 
 
 def kl_std_normal(mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
@@ -27,6 +27,27 @@ def kl_std_normal(mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
     """
     return -0.5 * jnp.sum(
         1.0 + logvar - jnp.square(mu) - jnp.exp(logvar), axis=-1
+    )
+
+
+def kl_gauss_gauss(
+    mu1: jnp.ndarray,
+    logvar1: jnp.ndarray,
+    mu2: jnp.ndarray,
+    logvar2: jnp.ndarray,
+) -> jnp.ndarray:
+    """KL(N(mu1, diag e^lv1) || N(mu2, diag e^lv2)), summed over the
+    latent dim; returns shape ``mu1.shape[:-1]``. Used by the
+    unimodal-posterior alignment regularizer (train/step.py
+    ``unimodal_align_weight``): distill each subset posterior toward the
+    (stop-gradiented) joint posterior.
+    """
+    return 0.5 * jnp.sum(
+        logvar2
+        - logvar1
+        + (jnp.exp(logvar1) + jnp.square(mu1 - mu2)) / jnp.exp(logvar2)
+        - 1.0,
+        axis=-1,
     )
 
 

@@ -37,6 +37,7 @@ from mmvae_tpu.core import (
     annealing_factor,
     elbo_subset_masks,
     elbo_terms,
+    kl_gauss_gauss,
     random_subset_masks,
     reparameterize,
 )
@@ -120,10 +121,20 @@ def multi_term_loss(
     cross_recon: bool = False,
     cross_recon_weight: float = 1.0,
     cross_recon_stopgrad: bool = False,
+    unimodal_align_weight: float = 0.0,
     mesh=None,
     term_fold: str = "b",
 ):
     """Total multi-term ELBO loss (batch mean) + per-term metrics.
+
+    ``unimodal_align_weight`` > 0 adds a posterior-distillation
+    regularizer: ``w * KL(q(z|S) || stop_grad(q(z|joint)))`` summed over
+    every non-joint subset term S (unimodal + random). The joint side
+    is stop-gradiented, so the term only PULLS the subset posteriors
+    toward the joint one -- a direct attack on unimodal experts whose
+    posterior collapses to the prior because the joint term carries all
+    the recon signal (the MultiMNIST text expert, BASELINE.md round-3
+    diagnosis). Purely encoder-side: decoder gradients are untouched.
 
     ``mesh``: when set, the decode+NLL pass is pinned row-sharded over
     the mesh's data axes (see ``_constrain_rows``) -- needed under FSDP,
@@ -296,7 +307,27 @@ def multi_term_loss(
         ) * nonempty
     else:
         recon_masks = masks
-    return elbo_terms(nll, kl, recon_masks, model.lambdas(), beta)
+    loss, metrics = elbo_terms(nll, kl, recon_masks, model.lambdas(), beta)
+    if unimodal_align_weight > 0.0:
+        if term_fold == "t":
+            q_mu, q_lv = fused_mu, fused_lv  # (T, B, L)
+            term_present = eff.sum(-1) > 0  # (T, B)
+        else:
+            q_mu = fused_mu.swapaxes(0, 1)  # (B,T,L) -> (T,B,L)
+            q_lv = fused_lv.swapaxes(0, 1)
+            term_present = (eff.sum(-1) > 0).T  # (T, B)
+        align = kl_gauss_gauss(
+            q_mu[1:], q_lv[1:],
+            jax.lax.stop_gradient(q_mu[:1]),
+            jax.lax.stop_gradient(q_lv[:1]),
+        )  # (T-1, B)
+        # Empty subsets (dropout/random draws) fuse to the prior -- no
+        # parameters behind them, nothing to align.
+        align = align * term_present[1:].astype(align.dtype)
+        align_kl = jnp.mean(jnp.sum(align, axis=0))
+        loss = loss + unimodal_align_weight * align_kl
+        metrics = dict(metrics, loss=loss, align_kl=align_kl)
+    return loss, metrics
 
 
 def make_train_step(
@@ -308,6 +339,7 @@ def make_train_step(
     cross_recon: bool = False,
     cross_recon_weight: float = 1.0,
     cross_recon_stopgrad: bool = False,
+    unimodal_align_weight: float = 0.0,
     out_state_shardings=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -333,6 +365,7 @@ def make_train_step(
         cross_recon=cross_recon,
         cross_recon_weight=cross_recon_weight,
         cross_recon_stopgrad=cross_recon_stopgrad,
+        unimodal_align_weight=unimodal_align_weight,
         mesh=_mesh_of(out_state_shardings),
         term_fold=term_fold,
     )
@@ -363,6 +396,7 @@ def _train_step_impl(
     cross_recon: bool = False,
     cross_recon_weight: float = 1.0,
     cross_recon_stopgrad: bool = False,
+    unimodal_align_weight: float = 0.0,
     mesh=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -396,6 +430,7 @@ def _train_step_impl(
                 cross_recon=cross_recon,
                 cross_recon_weight=cross_recon_weight,
         cross_recon_stopgrad=cross_recon_stopgrad,
+        unimodal_align_weight=unimodal_align_weight,
                 mesh=mesh,
                 term_fold=term_fold,
             )
@@ -421,6 +456,7 @@ def make_epoch_runner(
     cross_recon: bool = False,
     cross_recon_weight: float = 1.0,
     cross_recon_stopgrad: bool = False,
+    unimodal_align_weight: float = 0.0,
     out_state_shardings=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -443,6 +479,7 @@ def make_epoch_runner(
         cross_recon=cross_recon,
         cross_recon_weight=cross_recon_weight,
         cross_recon_stopgrad=cross_recon_stopgrad,
+        unimodal_align_weight=unimodal_align_weight,
         mesh=_mesh_of(out_state_shardings),
         term_fold=term_fold,
     )
@@ -474,6 +511,7 @@ def make_gather_epoch_runner(
     cross_recon: bool = False,
     cross_recon_weight: float = 1.0,
     cross_recon_stopgrad: bool = False,
+    unimodal_align_weight: float = 0.0,
     reshuffle_every: int = 1,
     n_shards: int = 1,
     shuffle_mode: str = "roll",
@@ -563,6 +601,7 @@ def make_gather_epoch_runner(
         cross_recon=cross_recon,
         cross_recon_weight=cross_recon_weight,
         cross_recon_stopgrad=cross_recon_stopgrad,
+        unimodal_align_weight=unimodal_align_weight,
         term_fold=term_fold,
     )
     n_used = n_steps * batch_size

@@ -320,3 +320,28 @@ def test_block_mode_mesh_parity_and_no_collectives(setup):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4
         )
+
+
+def test_align_knob_composes_with_dp(setup):
+    """``unimodal_align_weight`` under the DP mesh: batch-mean of the
+    alignment KL reduces over the sharded axis like any other term, so
+    the DP step must match single-device."""
+    model, batch, fresh_state = setup
+    step = make_train_step(
+        model, annealing_steps=10, unimodal_align_weight=1.5
+    )
+
+    s1 = fresh_state()
+    s1, m1 = step(s1, batch)
+
+    mesh = make_mesh()
+    s8 = replicate(fresh_state(), mesh)
+    s8, m8 = step(s8, shard_batch(batch, mesh))
+
+    assert float(m1["align_kl"]) > 0.0
+    np.testing.assert_allclose(
+        float(m1["align_kl"]), float(m8["align_kl"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m8["loss"]), rtol=1e-4
+    )

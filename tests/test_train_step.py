@@ -575,3 +575,81 @@ def test_shuffle_granularity_group_structure():
             # Later shuffles act on group-permuted order; the offset
             # roll lets a new group straddle one old group boundary.
             assert (breaks <= 1).all(), runs[:4]
+
+
+def test_unimodal_align_weight_value_and_structure():
+    """``unimodal_align_weight``: the loss grows by exactly
+    w * KL(q_unimodal || q_joint) (hand-computed from the same fused
+    posteriors), the metric is exposed, and both folds agree."""
+    from mmvae_tpu.core import elbo_subset_masks, kl_gauss_gauss
+    from mmvae_tpu.core.poe import product_of_experts
+
+    model, batch, state = _setup(n=16)
+    rng = jax.random.key(5)
+
+    def run(w, fold):
+        return multi_term_loss(
+            model, state.params, batch, rng, beta=0.5, term_fold=fold,
+            unimodal_align_weight=w, sample=False,
+        )
+
+    base, m_base = run(0.0, "b")
+    assert "align_kl" not in m_base
+    for fold in ("t", "b"):
+        loss_w, m = run(2.0, fold)
+        np.testing.assert_allclose(
+            float(loss_w), float(base) + 2.0 * float(m["align_kl"]),
+            rtol=1e-6,
+        )
+        assert float(m["align_kl"]) > 0.0
+        assert float(m["loss"]) == float(loss_w)
+
+    # Hand-computed alignment KL from the same fused posteriors.
+    mu_e, lv_e = model.apply(
+        {"params": state.params}, batch, method="encode"
+    )
+    masks = elbo_subset_masks(model.n_modalities)
+    eff = jnp.broadcast_to(
+        masks[:, None, :],
+        (masks.shape[0], mu_e.shape[0], model.n_modalities),
+    )
+    fm, fl = product_of_experts(mu_e[None], lv_e[None], mask=eff)
+    want = float(jnp.mean(jnp.sum(
+        kl_gauss_gauss(fm[1:], fl[1:], fm[:1], fl[:1]), axis=0
+    )))
+    _, m = run(1.0, "t")
+    np.testing.assert_allclose(float(m["align_kl"]), want, rtol=1e-5)
+
+
+def test_unimodal_align_is_encoder_only():
+    """The alignment term's gradient touches encoders only: decoder
+    grads are bitwise-unaffected by the knob, and the joint side is
+    stop-gradiented (the term pulls subsets toward the joint, never the
+    joint toward the subsets)."""
+    model, batch, state = _setup(n=16)
+    rng = jax.random.key(7)
+
+    def grads(w):
+        def f(p):
+            return multi_term_loss(
+                model, p, batch, rng, beta=0.7,
+                unimodal_align_weight=w, sample=False,
+            )[0]
+
+        return jax.grad(f)(state.params)
+
+    g0, g1 = grads(0.0), grads(3.0)
+    changed = False
+    for k in g0:
+        a = jax.tree.leaves(g0[k])
+        b = jax.tree.leaves(g1[k])
+        if "dec" in k:
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(x),
+                                              np.asarray(y))
+        else:
+            changed |= any(
+                not np.allclose(np.asarray(x), np.asarray(y))
+                for x, y in zip(a, b)
+            )
+    assert changed  # encoders did receive the alignment gradient
