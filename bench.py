@@ -412,8 +412,53 @@ def measure_jax_celeba(
     return out
 
 
+def _relay_alive(timeout_s: float = 3.0) -> bool:
+    """True when the axon TPU relay accepts connections.
+
+    Probed BEFORE importing jax: with the relay process dead, jax's
+    backend init blocks forever (observed 2026-08-18), which would turn
+    the driver's bench capture into a silent hang instead of a result.
+    """
+    import socket
+
+    s = socket.socket()
+    s.settimeout(timeout_s)
+    try:
+        s.connect(("127.0.0.1", 8082))
+        return True
+    except OSError:
+        return False
+    finally:
+        s.close()
+
+
+def _wait_for_relay(max_wait_s: float = 600.0) -> bool:
+    deadline = time.time() + max_wait_s
+    while time.time() < deadline:
+        if _relay_alive():
+            return True
+        print(
+            "bench: TPU relay unreachable, retrying...", file=sys.stderr
+        )
+        time.sleep(30)
+    return False
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "mnist"
+    if not _wait_for_relay():
+        # One honest, parseable line instead of an indefinite hang: the
+        # relay (the only path to the TPU) is down on this host.
+        print(json.dumps({
+            "metric": ("celeba" if which == "celeba" else "mnist")
+            + "_mvae_train_samples_per_sec_per_chip",
+            "value": 0,
+            "unit": "samples/sec/chip",
+            "vs_baseline": 0,
+            "error": "TPU relay unreachable (127.0.0.1:8082 refused "
+            "for 10 min); last clean capture in BASELINE.md",
+        }))
+        raise SystemExit(1)
     if which == "celeba":
         baseline = celeba_cpu_baseline()
         ref = measure_jax_celeba()
