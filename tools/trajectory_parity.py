@@ -280,6 +280,17 @@ def run(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
+    if jax.default_backend() == "cpu":
+        # Persistent cache for the (identical run-over-run) CPU compiles
+        # -- safe ONLY off the axon relay (docs/DESIGN.md section 7).
+        cache = str(Path(__file__).resolve().parent.parent
+                    / "tests" / ".xla_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.3
+        )
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
     model, train, test, torch_trainer = _setup(args.config, args)
     steps_per_epoch = args.train_size // args.batch_size
     annealing_steps = max(args.annealing_epochs * steps_per_epoch, 1)
