@@ -257,6 +257,7 @@ def train(
             model, steps_per_epoch, config.batch_size,
             reshuffle_every=config.reshuffle_every,
             n_shards=n_mesh_devices, shuffle_mode=shuffle_mode,
+            mesh=mesh,
             shuffle_granularity=getattr(
                 config, "shuffle_granularity", 1
             ),

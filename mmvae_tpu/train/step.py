@@ -73,6 +73,20 @@ def _tile_terms(tree, n_terms: int):
     return jax.tree.map(tile, tree)
 
 
+def _tile_terms_tmajor(tree, n_terms: int):
+    """T-MAJOR k-fold tiling: row ``t*B + b`` is example ``b`` under
+    term ``t`` -- a contiguous whole-array repeat XLA streams from HBM
+    (the measured 2x over the row-interleaved b-major repeat on
+    bandwidth-bound points, docs/DESIGN.md section 10)."""
+
+    def tile(x):
+        return jnp.broadcast_to(
+            x[None], (n_terms,) + x.shape
+        ).reshape((n_terms * x.shape[0],) + x.shape[1:])
+
+    return jax.tree.map(tile, tree)
+
+
 def _constrain_rows(tree, mesh):
     """Pin each leaf's leading (row) axis to the mesh's data axes.
 
@@ -151,7 +165,14 @@ def multi_term_loss(
         streams from HBM; measured 2x faster than the b-major row
         repeat on the bf16/4096 MNIST point (2.9M vs 1.45M samples/s).
         NOT mesh-safe (the round-2 SPMD full-remat); callers on a mesh
-        must use "b".
+        must use "b" or "st".
+      * ``"st"`` (mesh fast path, requires ``mesh``): shard-local
+        t-major -- fusion/sampling stay in the global (B, T, ...)
+        layout (z bitwise-identical to "b"), and the decode+NLL pass
+        runs under ``shard_map`` with each device t-major-folding only
+        its own batch shard. The target k-fold is a contiguous LOCAL
+        repeat (the same 2x-faster read "t" gets on one chip) and the
+        pass is embarrassingly parallel -- zero collectives.
 
     ``batch`` maps modality names to targets, plus an optional
     ``"presence"`` key: ``(B, M)`` float mask of which modalities each
@@ -201,12 +222,7 @@ def multi_term_loss(
         z_flat = z.reshape((n_terms * batch_size, -1))
 
         def tile_t(tree):
-            return jax.tree.map(
-                lambda x: jnp.broadcast_to(
-                    x[None], (n_terms,) + x.shape
-                ).reshape((n_terms * x.shape[0],) + x.shape[1:]),
-                tree,
-            )
+            return _tile_terms_tmajor(tree, n_terms)
 
         decode_batch = (
             tile_t({k: data[k] for k in seq_names}) if seq_names else None
@@ -268,6 +284,70 @@ def multi_term_loss(
 
         nll = nll_of(variables)
         kl = kl_std_normal(fused_mu, fused_lv).T  # (B, T) -> (T, B)
+    elif term_fold == "st":
+        # SHARD-LOCAL T-MAJOR: the mesh fold without the b-major tax.
+        # Fusion/sampling run in the same (B, T, ...) global layout as
+        # "b" (bitwise-identical z), then the decode+NLL pass runs under
+        # ``shard_map``: each device t-major-folds ONLY its own batch
+        # shard, so the k-fold target tiling is a contiguous local
+        # repeat (the 2x-faster read, docs/DESIGN.md section 10) and no
+        # tensor ever crosses chips -- the fold GSPMD could not
+        # represent sharded becomes a per-shard private layout.
+        if mesh is None:
+            raise ValueError("term_fold='st' requires a mesh")
+        from jax.sharding import PartitionSpec as P
+
+        try:  # moved out of experimental in newer JAX
+            from jax import shard_map
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+
+        eff = masks[None]  # (1, T, M)
+        if presence is not None:
+            eff = eff * presence[:, None]  # (B, T, M)
+        else:
+            eff = jnp.broadcast_to(eff, (batch_size, n_terms, n_mod))
+        fused_mu, fused_lv = product_of_experts(
+            mu_e[:, None], lv_e[:, None], mask=eff
+        )  # (B, T, L)
+        z = reparameterize(rng_z, fused_mu, fused_lv, sample=sample)
+
+        axes = tuple(mesh.axis_names)
+
+        def _local_nll(vs, z_loc, data_loc):
+            # z_loc: (b_loc, T, L) -- this shard's rows only.
+            b_loc = z_loc.shape[0]
+            z_flat = z_loc.swapaxes(0, 1).reshape(
+                (n_terms * b_loc, -1)
+            )
+            decode_batch = (
+                _tile_terms_tmajor(
+                    {k: data_loc[k] for k in seq_names}, n_terms
+                )
+                if seq_names
+                else None
+            )
+            recons = model.apply(
+                vs, z_flat, decode_batch, method="decode"
+            )
+            nll_flat = model.apply(
+                vs, recons, _tile_terms_tmajor(data_loc, n_terms),
+                method="nll_all",
+            )  # (M, T*b_loc) t-major local rows
+            return nll_flat.reshape((n_mod, n_terms, b_loc))
+
+        smap = shard_map(
+            _local_nll,
+            mesh=mesh,
+            in_specs=(P(), P(axes), P(axes)),
+            out_specs=P(None, None, axes),
+        )
+
+        def nll_of(vs):
+            return smap(vs, z, data).transpose(1, 0, 2)  # (T, M, B)
+
+        nll = nll_of(variables)
+        kl = kl_std_normal(fused_mu, fused_lv).T  # (B, T) -> (T, B)
     else:
         raise ValueError(f"unknown term_fold {term_fold!r}")
 
@@ -312,7 +392,7 @@ def multi_term_loss(
         if term_fold == "t":
             q_mu, q_lv = fused_mu, fused_lv  # (T, B, L)
             term_present = eff.sum(-1) > 0  # (T, B)
-        else:
+        else:  # "b" and "st" share the (B, T, L) layout
             q_mu = fused_mu.swapaxes(0, 1)  # (B,T,L) -> (T,B,L)
             q_lv = fused_lv.swapaxes(0, 1)
             term_present = (eff.sum(-1) > 0).T  # (T, B)
@@ -517,6 +597,7 @@ def make_gather_epoch_runner(
     shuffle_mode: str = "roll",
     shuffle_granularity: int = 1,
     term_fold: str | None = None,
+    mesh=None,
 ) -> Callable:
     """Epoch runner with shuffle AND gather INSIDE the program:
     ``(state, arrays) -> (state, arrays, metrics)``.
@@ -590,9 +671,14 @@ def make_gather_epoch_runner(
     stratified re-stacking transpose.
     """
     if term_fold is None:
-        # Single-shard epochs take the t-major fast fold; mesh epochs
-        # need the sharding-safe b-major fold (see multi_term_loss).
-        term_fold = "t" if n_shards <= 1 else "b"
+        # Single-shard epochs take the t-major fast fold. Mesh epochs
+        # take the shard-local t-major fold when the mesh object is in
+        # hand (same contiguous reads, zero collectives); the b-major
+        # GSPMD fold is the fallback when only n_shards is known.
+        if n_shards <= 1:
+            term_fold = "t"
+        else:
+            term_fold = "st" if mesh is not None else "b"
     impl = _train_step_impl(
         model,
         n_random_subsets=n_random_subsets,
@@ -603,6 +689,7 @@ def make_gather_epoch_runner(
         cross_recon_stopgrad=cross_recon_stopgrad,
         unimodal_align_weight=unimodal_align_weight,
         term_fold=term_fold,
+        mesh=mesh if term_fold == "st" else None,
     )
     n_used = n_steps * batch_size
     if shuffle_mode not in ("roll", "block"):

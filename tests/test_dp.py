@@ -345,3 +345,101 @@ def test_align_knob_composes_with_dp(setup):
     np.testing.assert_allclose(
         float(m1["loss"]), float(m8["loss"]), rtol=1e-4
     )
+
+
+def test_st_fold_matches_b_fold_loss_and_grads(setup):
+    """``term_fold="st"`` (shard-local t-major decode+NLL under
+    shard_map): z is computed globally before the fold, so loss and
+    grads must match the GSPMD b-major fold up to reduction order."""
+    from mmvae_tpu.train import multi_term_loss
+
+    model, batch, fresh_state = setup
+    params = fresh_state().params
+    mesh = make_mesh()
+    sharded = shard_batch(batch, mesh)
+    rng = jax.random.key(11)
+
+    def loss_grads(fold, mesh_arg):
+        def f(p):
+            return multi_term_loss(
+                model, p, sharded, rng, beta=0.7, term_fold=fold,
+                mesh=mesh_arg, sample=True,
+            )[0]
+
+        loss, grads = jax.value_and_grad(f)(params)
+        return float(loss), grads
+
+    lb, gb = loss_grads("b", None)
+    ls, gs = loss_grads("st", mesh)
+    np.testing.assert_allclose(lb, ls, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gb), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_st_fold_gather_runner_parity_and_no_collectives():
+    """The gather epoch runner auto-selects "st" when handed the mesh;
+    the program must stay collective-free (the shard-local fold never
+    crosses chips) and match the b-fold runner step for step (same rng
+    stream -> identical shuffles and z)."""
+    from mmvae_tpu.data import load_dataset
+    from mmvae_tpu.parallel import batch_sharding
+    from mmvae_tpu.train import make_gather_epoch_runner
+
+    model = MnistMVAE(n_latents=8)
+    ds = load_dataset("mnist", n=128, seed=0)
+    mesh = make_mesh()
+    sh = batch_sharding(mesh)
+
+    def fresh():
+        return replicate(
+            create_train_state(
+                model,
+                {k: v[:16] for k, v in ds.arrays.items()},
+                jax.random.key(0),
+                1e-3,
+            ),
+            mesh,
+        )
+
+    kw = dict(annealing_steps=10, reshuffle_every=4, n_shards=8)
+    runner_b = make_gather_epoch_runner(model, 8, 16, **kw)
+    runner_st = make_gather_epoch_runner(model, 8, 16, mesh=mesh, **kw)
+
+    def sharded_arrays():
+        return {
+            k: jax.device_put(np.asarray(v), sh)
+            for k, v in ds.arrays.items()
+        }
+
+    arrs = sharded_arrays()
+    txt = runner_st.lower(fresh(), arrs, True).compile().as_text()
+    offenders = [
+        line.strip()[:160]
+        for line in txt.splitlines()
+        if "all-gather" in line
+        or "all-to-all" in line
+        or "collective-permute" in line
+    ]
+    assert not offenders, offenders
+
+    losses = {}
+    params = {}
+    for name, runner in (("b", runner_b), ("st", runner_st)):
+        s = fresh()
+        arrs = sharded_arrays()
+        ls = []
+        for ep in range(3):
+            s, arrs, ms = runner(s, arrs, ep == 0)
+            ls.append(np.asarray(ms["loss"]))
+        losses[name] = np.concatenate(ls)
+        params[name] = s.params
+
+    np.testing.assert_allclose(losses["b"], losses["st"], rtol=2e-4)
+    for a, b in zip(
+        jax.tree.leaves(params["b"]), jax.tree.leaves(params["st"])
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5
+        )
