@@ -378,6 +378,7 @@ def test_st_fold_matches_b_fold_loss_and_grads(setup):
         )
 
 
+@pytest.mark.slow
 def test_st_fold_gather_runner_parity_and_no_collectives():
     """The gather epoch runner auto-selects "st" when handed the mesh;
     the program must stay collective-free (the shard-local fold never
@@ -442,4 +443,40 @@ def test_st_fold_gather_runner_parity_and_no_collectives():
     ):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5
+        )
+
+
+@pytest.mark.slow
+def test_st_fold_seq_model_matches_b_fold():
+    """The st fold's LOCAL teacher-forcing tile (sequence modalities
+    must tile t-major inside each shard): tiny MultiMNIST st-vs-b
+    loss/grad parity under the mesh, with cross-recon on (the quality
+    config for this model family)."""
+    from mmvae_tpu.data import load_dataset
+    from mmvae_tpu.models import MultiMnistMVAE
+    from mmvae_tpu.train import multi_term_loss
+
+    model = MultiMnistMVAE(n_latents=8)
+    ds = load_dataset("multimnist", n=16, seed=0)
+    state = create_train_state(model, ds.arrays, jax.random.key(0), 1e-3)
+    mesh = make_mesh()
+    sharded = shard_batch(dict(ds.arrays), mesh)
+    rng = jax.random.key(13)
+
+    def loss_grads(fold, mesh_arg):
+        def f(p):
+            return multi_term_loss(
+                model, p, sharded, rng, beta=0.6, term_fold=fold,
+                mesh=mesh_arg, sample=True, cross_recon=True,
+            )[0]
+
+        loss, grads = jax.value_and_grad(f)(state.params)
+        return float(loss), grads
+
+    lb, gb = loss_grads("b", None)
+    ls, gs = loss_grads("st", mesh)
+    np.testing.assert_allclose(lb, ls, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gb), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
         )
