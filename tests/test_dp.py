@@ -377,6 +377,28 @@ def test_st_fold_matches_b_fold_loss_and_grads(setup):
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
         )
 
+    # With per-example modality-dropout presence masks (the other input
+    # structure the folds must agree on): presence multiplies both the
+    # fusion mask and the recon weights, globally in both folds.
+    presence = jnp.asarray(
+        (np.random.default_rng(3).random((64, 2)) > 0.3).astype(
+            np.float32
+        )
+    )
+    sharded_p = shard_batch(dict(batch, presence=presence), mesh)
+
+    def loss_p(fold, mesh_arg):
+        from mmvae_tpu.train import multi_term_loss
+
+        return float(multi_term_loss(
+            model, params, sharded_p, rng, beta=0.7, term_fold=fold,
+            mesh=mesh_arg, sample=True,
+        )[0])
+
+    np.testing.assert_allclose(
+        loss_p("b", None), loss_p("st", mesh), rtol=1e-5
+    )
+
 
 @pytest.mark.slow
 def test_st_fold_gather_runner_parity_and_no_collectives():
