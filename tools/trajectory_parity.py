@@ -346,8 +346,16 @@ def run(argv=None) -> int:
                                sample=True, seed=s, **tkw)
             t_final.append(tc[-1]["test_elbo"])
         jm, tm = float(np.mean(j_final)), float(np.mean(t_final))
-        spread = (max(j_final) - min(j_final)) + (max(t_final) - min(t_final))
-        tol = max(spread, 0.01 * abs(tm))
+        # Welch two-sample interval: the means must agree within ~2
+        # standard errors of their own seed noise (floored at the 1%
+        # budget) -- with >=3 seeds/side this is a defensible "within
+        # noise"; at 2 seeds/side the variance estimate is weak, run
+        # more seeds before reading a failure as real.
+        n = len(j_final)
+        var_j = float(np.var(j_final, ddof=1)) if n > 1 else 0.0
+        var_t = float(np.var(t_final, ddof=1)) if n > 1 else 0.0
+        se = float(np.sqrt(var_j / n + var_t / n))
+        tol = max(2.0 * se, 0.01 * abs(tm))
         samp = {
             "config": args.config,
             "mode": "sampled",
