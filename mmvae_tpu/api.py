@@ -228,6 +228,7 @@ def train(
         unimodal_align_weight=getattr(
             config, "unimodal_align_weight", 0.0
         ),
+        cycle_weight=getattr(config, "cycle_weight", 0.0),
     )
     n_mesh_devices = 1 if mesh is None else int(mesh.devices.size)
     # The in-program shuffle+gather fast path composes with the DP mesh
@@ -342,6 +343,9 @@ def train(
             align_kls = (
                 np.asarray(ms["align_kl"]) if "align_kl" in ms else None
             )
+            cycle_ces = (
+                np.asarray(ms["cycle_ce"]) if "cycle_ce" in ms else None
+            )
             base_step = int(state.step) - len(losses)
             for i in range(0, len(losses), li):
                 rec = {
@@ -357,6 +361,8 @@ def train(
                 }
                 if align_kls is not None:
                     rec["align_kl"] = align_kls[i]
+                if cycle_ces is not None:
+                    rec["cycle_ce"] = cycle_ces[i]
                 writer.write(rec)
         meter = AverageMeter()
         meter.update(float(losses.mean()), len(losses) * config.batch_size)

@@ -40,6 +40,7 @@ def _overrides(args, config):
         "cross_recon_weight",
         "cross_recon_stopgrad",
         "unimodal_align_weight",
+        "cycle_weight",
     ):
         v = getattr(args, field, None)
         if v is not None:
@@ -132,6 +133,12 @@ def main(argv=None) -> int:
         type=float,
         help="w * KL(q(z|S) || sg(q(z|joint))) over non-joint subset "
         "terms: distill subset posteriors toward the joint one",
+    )
+    pt.add_argument(
+        "--cycle-weight", dest="cycle_weight", type=float,
+        help="generation-path cycle consistency: seq-only posterior -> "
+        "render image -> re-encode -> decode the sequence back, CE vs "
+        "the true sequence (decoders stop-gradiented: encoders only)",
     )
     pt.add_argument(
         "--shuffle-granularity", dest="shuffle_granularity", type=int,

@@ -51,6 +51,10 @@ class ExperimentConfig:
     # over every non-joint subset term: distill subset posteriors toward
     # the (stop-gradiented) joint posterior -- encoder-side fix for
     # unimodal experts that collapse to the prior (train/step.py)
+    cycle_weight: float = 0.0  # generation-path cycle consistency: seq
+    # posterior -> render bernoulli modalities -> re-encode -> decode the
+    # sequence back, CE vs the true sequence (decoders stop-gradiented;
+    # trains encoders only -- train/step.py::multi_term_loss)
     train_size: int = 10000
     test_size: int = 2000
     log_interval: int = 100

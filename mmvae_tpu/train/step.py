@@ -136,10 +136,26 @@ def multi_term_loss(
     cross_recon_weight: float = 1.0,
     cross_recon_stopgrad: bool = False,
     unimodal_align_weight: float = 0.0,
+    cycle_weight: float = 0.0,
     mesh=None,
     term_fold: str = "b",
 ):
     """Total multi-term ELBO loss (batch mean) + per-term metrics.
+
+    ``cycle_weight`` > 0 adds a generation-path cycle-consistency term
+    for every sequence modality s: take the s-only subset posterior's
+    sampled z (the EXACT latent ``api.generate`` conditions on), render
+    every bernoulli modality from it (sigmoid of the decoder logits),
+    re-encode the render alone, and decode s teacher-forced from the
+    re-encoded posterior mean -- CE against the true sequence, weighted
+    by ``cycle_weight * lambda_s``. Every decoder is stop-gradiented on
+    the cycle path, so the term trains ENCODERS only: the seq encoder
+    must emit content the (joint-trained) decoder already renders as
+    the right digits, and the image encoder must read renders -- the
+    render itself cannot adapt (no steganographic channel). This
+    directly optimizes the text->image->text round trip that the
+    round-3 hybrid-latent ablation localized to content/style
+    information allocation (BASELINE.md MultiMNIST row).
 
     ``unimodal_align_weight`` > 0 adds a posterior-distillation
     regularizer: ``w * KL(q(z|S) || stop_grad(q(z|joint)))`` summed over
@@ -407,6 +423,46 @@ def multi_term_loss(
         align_kl = jnp.mean(jnp.sum(align, axis=0))
         loss = loss + unimodal_align_weight * align_kl
         metrics = dict(metrics, loss=loss, align_kl=align_kl)
+    if cycle_weight > 0.0:
+        specs = model.specs()
+        seq_idx = [i for i, s in enumerate(specs) if s.kind == "seq"]
+        ber_idx = [
+            i for i, s in enumerate(specs) if s.kind == "bernoulli"
+        ]
+        if not seq_idx or not ber_idx:
+            raise ValueError(
+                "cycle_weight needs a seq and a bernoulli modality"
+            )
+        sg_vars = {"params": _sg_decoder_params(params)}
+        # Re-encode presence: only the rendered bernoulli modalities are
+        # observed on the second pass (other kinds keep placeholder data
+        # but contribute no expert).
+        ber_mask = jnp.zeros((n_mod,)).at[jnp.asarray(ber_idx)].set(1.0)
+        presence2 = jnp.broadcast_to(ber_mask[None], (batch_size, n_mod))
+        lambdas = model.lambdas()
+        cycle_ce = 0.0
+        for s_i in seq_idx:
+            term = 1 + s_i  # unimodal term of modality s (mask row)
+            z_s = z[term] if term_fold == "t" else z[:, term]
+            rendered = model.apply(sg_vars, z_s, data, method="decode")
+            re_batch = dict(data)
+            for m_i in ber_idx:
+                name = specs[m_i].name
+                re_batch[name] = jax.nn.sigmoid(rendered[name])
+            mu2, lv2 = model.apply(sg_vars, re_batch, method="encode")
+            mu_f2, _ = product_of_experts(mu2, lv2, mask=presence2)
+            # Deterministic re-read (z = posterior mean), matching the
+            # greedy re-read the round-trip metric performs.
+            recons2 = model.apply(sg_vars, mu_f2, data, method="decode")
+            nll2 = model.apply(
+                sg_vars, recons2, data, method="nll_all"
+            )  # (M, B)
+            ce = nll2[s_i]
+            if presence is not None:
+                ce = ce * presence[:, s_i]
+            cycle_ce = cycle_ce + lambdas[s_i] * jnp.mean(ce)
+        loss = loss + cycle_weight * cycle_ce
+        metrics = dict(metrics, loss=loss, cycle_ce=cycle_ce)
     return loss, metrics
 
 
@@ -420,6 +476,7 @@ def make_train_step(
     cross_recon_weight: float = 1.0,
     cross_recon_stopgrad: bool = False,
     unimodal_align_weight: float = 0.0,
+    cycle_weight: float = 0.0,
     out_state_shardings=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -446,6 +503,7 @@ def make_train_step(
         cross_recon_weight=cross_recon_weight,
         cross_recon_stopgrad=cross_recon_stopgrad,
         unimodal_align_weight=unimodal_align_weight,
+        cycle_weight=cycle_weight,
         mesh=_mesh_of(out_state_shardings),
         term_fold=term_fold,
     )
@@ -477,6 +535,7 @@ def _train_step_impl(
     cross_recon_weight: float = 1.0,
     cross_recon_stopgrad: bool = False,
     unimodal_align_weight: float = 0.0,
+    cycle_weight: float = 0.0,
     mesh=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -511,6 +570,7 @@ def _train_step_impl(
                 cross_recon_weight=cross_recon_weight,
         cross_recon_stopgrad=cross_recon_stopgrad,
         unimodal_align_weight=unimodal_align_weight,
+        cycle_weight=cycle_weight,
                 mesh=mesh,
                 term_fold=term_fold,
             )
@@ -537,6 +597,7 @@ def make_epoch_runner(
     cross_recon_weight: float = 1.0,
     cross_recon_stopgrad: bool = False,
     unimodal_align_weight: float = 0.0,
+    cycle_weight: float = 0.0,
     out_state_shardings=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -560,6 +621,7 @@ def make_epoch_runner(
         cross_recon_weight=cross_recon_weight,
         cross_recon_stopgrad=cross_recon_stopgrad,
         unimodal_align_weight=unimodal_align_weight,
+        cycle_weight=cycle_weight,
         mesh=_mesh_of(out_state_shardings),
         term_fold=term_fold,
     )
@@ -592,6 +654,7 @@ def make_gather_epoch_runner(
     cross_recon_weight: float = 1.0,
     cross_recon_stopgrad: bool = False,
     unimodal_align_weight: float = 0.0,
+    cycle_weight: float = 0.0,
     reshuffle_every: int = 1,
     n_shards: int = 1,
     shuffle_mode: str = "roll",
@@ -688,6 +751,7 @@ def make_gather_epoch_runner(
         cross_recon_weight=cross_recon_weight,
         cross_recon_stopgrad=cross_recon_stopgrad,
         unimodal_align_weight=unimodal_align_weight,
+        cycle_weight=cycle_weight,
         term_fold=term_fold,
         mesh=mesh if term_fold == "st" else None,
     )

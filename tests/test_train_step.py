@@ -653,3 +653,105 @@ def test_unimodal_align_is_encoder_only():
                 for x, y in zip(a, b)
             )
     assert changed  # encoders did receive the alignment gradient
+
+
+def _setup_multimnist(n=16):
+    from mmvae_tpu.models import MultiMnistMVAE
+
+    model = MultiMnistMVAE(
+        n_latents=8, conv_features=(4, 8), text_embed=8, text_hidden=16
+    )
+    ds = load_dataset("multimnist", n=n, seed=0)
+    state = create_train_state(
+        model, ds.arrays, jax.random.key(0), 1e-3
+    )
+    return model, ds.arrays, state
+
+
+def test_cycle_weight_value_and_structure():
+    """``cycle_weight``: the loss grows by exactly w * cycle_ce, the
+    metric matches a hand-computed generation-path round trip (text-only
+    posterior -> sigmoid render -> image-only re-encode -> teacher-forced
+    text CE, scaled by lambda_text), and both folds agree."""
+    from mmvae_tpu.core import elbo_subset_masks
+    from mmvae_tpu.core.poe import product_of_experts
+    from mmvae_tpu.train.step import multi_term_loss
+
+    model, batch, state = _setup_multimnist()
+    rng = jax.random.key(3)
+
+    def run(w, fold):
+        return multi_term_loss(
+            model, state.params, batch, rng, beta=0.5, term_fold=fold,
+            cycle_weight=w, sample=False,
+        )
+
+    base, m_base = run(0.0, "b")
+    assert "cycle_ce" not in m_base
+    for fold in ("t", "b"):
+        loss_w, m = run(2.0, fold)
+        np.testing.assert_allclose(
+            float(loss_w), float(base) + 2.0 * float(m["cycle_ce"]),
+            rtol=1e-6,
+        )
+        assert float(m["cycle_ce"]) > 0.0
+        assert float(m["loss"]) == float(loss_w)
+
+    # Hand-computed cycle CE (sample=False -> z is the fused mean).
+    vs = {"params": state.params}
+    mu_e, lv_e = model.apply(vs, batch, method="encode")
+    masks = elbo_subset_masks(model.n_modalities)  # joint, image, text
+    eff = jnp.broadcast_to(
+        masks[:, None, :],
+        (masks.shape[0], mu_e.shape[0], model.n_modalities),
+    )
+    fm, _ = product_of_experts(mu_e[None], lv_e[None], mask=eff)
+    z_text = fm[2]  # unimodal text term
+    rendered = model.apply(vs, z_text, batch, method="decode")
+    re_batch = dict(batch, image=jax.nn.sigmoid(rendered["image"]))
+    mu2, lv2 = model.apply(vs, re_batch, method="encode")
+    img_only = jnp.broadcast_to(
+        jnp.asarray([1.0, 0.0])[None], (mu2.shape[0], 2)
+    )
+    mu_f2, _ = product_of_experts(mu2, lv2, mask=img_only)
+    recons2 = model.apply(vs, mu_f2, batch, method="decode")
+    nll2 = model.apply(vs, recons2, batch, method="nll_all")
+    want = float(model.lambdas()[1] * jnp.mean(nll2[1]))
+    _, m = run(1.0, "t")
+    np.testing.assert_allclose(float(m["cycle_ce"]), want, rtol=1e-5)
+
+
+def test_cycle_is_encoder_only():
+    """The cycle term's gradient never reaches the decoders (every
+    decode on the cycle path runs with stop-gradiented decoder params):
+    decoder grads are bitwise-unaffected by the knob, encoder grads
+    change."""
+    from mmvae_tpu.train.step import multi_term_loss
+
+    model, batch, state = _setup_multimnist()
+    rng = jax.random.key(9)
+
+    def grads(w):
+        def f(p):
+            return multi_term_loss(
+                model, p, batch, rng, beta=0.7,
+                cycle_weight=w, sample=False,
+            )[0]
+
+        return jax.grad(f)(state.params)
+
+    g0, g1 = grads(0.0), grads(5.0)
+    changed = False
+    for k in g0:
+        a = jax.tree.leaves(g0[k])
+        b = jax.tree.leaves(g1[k])
+        if "dec" in k:
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(x),
+                                              np.asarray(y))
+        else:
+            changed |= any(
+                not np.allclose(np.asarray(x), np.asarray(y))
+                for x, y in zip(a, b)
+            )
+    assert changed  # encoders did receive the cycle gradient
