@@ -352,7 +352,7 @@ def celeba_cpu_baseline() -> float:
 def measure_jax_celeba(
     batch: int = 64, steps: int = 50, dtype: str = "float32",
     data_dtype: str = "float32", reshuffle_every: int = 1,
-    space_to_depth: int = 1,
+    space_to_depth: int = 1, upsample_mode: str = "deconv",
 ) -> dict:
     import numpy as np
 
@@ -370,6 +370,7 @@ def measure_jax_celeba(
         n_latents=100,
         dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
         space_to_depth=space_to_depth,
+        upsample_mode=upsample_mode,
     )
     ds = load_dataset("celeba", n=batch * steps, seed=0)
     state = create_train_state(

@@ -39,6 +39,10 @@ class CelebAMVAE(MVAEBase):
     # (experts.py ConvEncoder/DeconvDecoder.space_to_depth); perf knob,
     # default is the reference-shaped stack
     space_to_depth: int = 1
+    # "shuffle" swaps the decoder's 4x4/2 transposed convs for 2x2/1
+    # convs + depth-to-space (experts.py DeconvDecoder.upsample_mode);
+    # perf knob, default is the reference-shaped deconv stack
+    upsample_mode: str = "deconv"
     dtype: jnp.dtype = jnp.float32
 
     def specs(self):
@@ -58,6 +62,7 @@ class CelebAMVAE(MVAEBase):
             channels=3,
             features=tuple(reversed(self.conv_features)),
             space_to_depth=self.space_to_depth,
+            upsample_mode=self.upsample_mode,
             **kw,
         )
         self.attr_enc = AttributeEncoderBank(

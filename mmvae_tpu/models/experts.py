@@ -202,6 +202,16 @@ class DeconvDecoder(nn.Module):
     # (same parameter count, 4x the contracting width on the final
     # few-channel stage). Opt-in.
     space_to_depth: int = 1
+    # "shuffle": replace every 4x4/2 transposed conv with a 2x2/1 conv to
+    # 4x channels + depth-to-space (sub-pixel / pixel-shuffle upsampling).
+    # Identical parameter count per stage (2*2*C_in*4*F == 4*4*C_in*F) and
+    # the same receptive field, but the MXU contraction is dense: XLA
+    # lowers stride-2 ConvTranspose via lhs_dilation (zero-interleaved
+    # input), wasting 3/4 of the systolic-array work on zeros and paying
+    # the HBM<->scratch weight-copy tail the CelebA bf16 trace records
+    # around the 4x4 deconv kernels (DESIGN.md section 10). Perf knob;
+    # default stays the reference-shaped deconv stack.
+    upsample_mode: str = "deconv"
 
     @nn.compact
     def __call__(self, z):
@@ -218,15 +228,22 @@ class DeconvDecoder(nn.Module):
         )
         h = h.reshape((z.shape[0], base_h, base_w, self.features[0]))
         for feat in self.features[1:]:
-            h = swish(
-                nn.ConvTranspose(
-                    feat,
-                    (4, 4),
-                    strides=(2, 2),
-                    padding="SAME",
+            if self.upsample_mode == "shuffle":
+                h = nn.Conv(
+                    4 * feat, (2, 2), strides=(1, 1), padding="SAME",
                     dtype=self.dtype,
                 )(h)
-            )
+                h = swish(_depth_to_space(h, 2))
+            else:
+                h = swish(
+                    nn.ConvTranspose(
+                        feat,
+                        (4, 4),
+                        strides=(2, 2),
+                        padding="SAME",
+                        dtype=self.dtype,
+                    )(h)
+                )
         if self.space_to_depth > 1:
             r = self.space_to_depth
             logits = nn.ConvTranspose(
@@ -234,6 +251,12 @@ class DeconvDecoder(nn.Module):
                 padding="SAME", dtype=self.dtype,
             )(h)
             logits = _depth_to_space(logits, r).astype(jnp.float32)
+        elif self.upsample_mode == "shuffle":
+            logits = nn.Conv(
+                4 * self.channels, (2, 2), strides=(1, 1), padding="SAME",
+                dtype=self.dtype,
+            )(h)
+            logits = _depth_to_space(logits, 2).astype(jnp.float32)
         else:
             logits = nn.ConvTranspose(
                 self.channels, (4, 4), strides=(2, 2), padding="SAME",

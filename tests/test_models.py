@@ -176,6 +176,48 @@ def test_celeba_space_to_depth_variant_trains():
     assert abs(counts[1] - counts[2]) < 32
 
 
+def test_celeba_pixel_shuffle_decoder_variant_trains():
+    """upsample_mode="shuffle" (2x2/1 conv + depth-to-space replacing
+    every 4x4/2 transposed conv) keeps output shapes and filter
+    parameter count (2*2*C_in*4F == 4*4*C_in*F; only per-stage bias
+    widths differ) and trains to a finite loss. Perf knob targeting the
+    lhs-dilation waste in XLA's ConvTranspose lowering, not a different
+    model family."""
+    import jax
+    import numpy as np
+
+    from mmvae_tpu.models import CelebAMVAE
+    from mmvae_tpu.train import create_train_state, make_train_step
+
+    counts = {}
+    for mode in ("deconv", "shuffle"):
+        model = CelebAMVAE(
+            n_latents=16, image_hw=(16, 16), conv_features=(8, 16),
+            upsample_mode=mode,
+        )
+        batch = model.dummy_batch(4)
+        state = create_train_state(
+            model, batch, jax.random.key(0), 1e-3
+        )
+        counts[mode] = sum(
+            x.size for x in jax.tree.leaves(state.params)
+        )
+        step = make_train_step(model, annealing_steps=5)
+        state, m = step(state, batch)
+        assert np.isfinite(float(m["loss"]))
+        recons = model.apply(
+            {"params": state.params},
+            model.dummy_batch(2),
+            rng=jax.random.key(1),
+        )[0]
+        assert recons["image"].shape == (2, 16, 16, 3)
+    # Filter params match exactly; the shuffle stages carry 4x-wide
+    # biases (4F vs F per stage), a few-hundred-element delta here.
+    assert abs(counts["deconv"] - counts["shuffle"]) < 4 * sum(
+        (8, 16)
+    ) + 4 * 3
+
+
 def test_multimnist_text_latent_factorization():
     """text_latent_dims=K: the text expert constrains only the first K
     latent dims -- the text-only PoE posterior on the style dims is the
