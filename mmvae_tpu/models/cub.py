@@ -23,6 +23,9 @@ class CubMVAE(MVAEBase):
     lambda_image: float = 1.0
     lambda_text: float = 5.0
     conv_features: tuple[int, ...] = (32, 64, 128, 256)
+    # "shuffle" swaps the decoder's 4x4/2 transposed convs for 2x2/1
+    # convs + depth-to-space (experts.py DeconvDecoder.upsample_mode)
+    upsample_mode: str = "deconv"
     dtype: jnp.dtype = jnp.float32
 
     def specs(self):
@@ -40,6 +43,7 @@ class CubMVAE(MVAEBase):
             self.image_hw,
             channels=3,
             features=tuple(reversed(self.conv_features)),
+            upsample_mode=self.upsample_mode,
             **kw,
         )
         self.text_enc = SeqEncoder(
