@@ -47,7 +47,7 @@ class ExperimentConfig:
     cross_recon_stopgrad: bool = False  # cross entries supervise the
     # encoders only (decoder params stop-gradiented in cross recon --
     # the cross-modal averaging gradient never reaches the decoder)
-    unimodal_align_weight: float = 0.0  # w * KL(q(z|S) || sg(q(z|joint)))
+    unimodal_align_weight: float = 0.0  # w*beta*KL(q(z|S)||sg(q(z|joint)))
     # over every non-joint subset term: distill subset posteriors toward
     # the (stop-gradiented) joint posterior -- encoder-side fix for
     # unimodal experts that collapse to the prior (train/step.py)

@@ -158,8 +158,11 @@ def multi_term_loss(
     information allocation (BASELINE.md MultiMNIST row).
 
     ``unimodal_align_weight`` > 0 adds a posterior-distillation
-    regularizer: ``w * KL(q(z|S) || stop_grad(q(z|joint)))`` summed over
-    every non-joint subset term S (unimodal + random). The joint side
+    regularizer: ``w * beta * KL(q(z|S) || stop_grad(q(z|joint)))``
+    summed over every non-joint subset term S (unimodal + random),
+    ramped by the SAME annealed beta as the ELBO's KL (unramped, the
+    init-time KL between arbitrary posteriors dwarfs the ELBO and
+    destabilizes training -- measured). The joint side
     is stop-gradiented, so the term only PULLS the subset posteriors
     toward the joint one -- a direct attack on unimodal experts whose
     posterior collapses to the prior because the joint term carries all
@@ -421,7 +424,12 @@ def multi_term_loss(
         # parameters behind them, nothing to align.
         align = align * term_present[1:].astype(align.dtype)
         align_kl = jnp.mean(jnp.sum(align, axis=0))
-        loss = loss + unimodal_align_weight * align_kl
+        # Ramp with the annealed beta, like the ELBO's own KL: at init
+        # the unimodal and joint posteriors are arbitrarily far apart
+        # and the raw distillation KL dwarfs the ELBO (measured: a
+        # weight-1.0 MultiMNIST run opened at 7.4M train loss and
+        # diverged after epoch 13). The metric stays the RAW KL.
+        loss = loss + unimodal_align_weight * beta * align_kl
         metrics = dict(metrics, loss=loss, align_kl=align_kl)
     if cycle_weight > 0.0:
         specs = model.specs()

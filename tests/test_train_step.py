@@ -579,8 +579,9 @@ def test_shuffle_granularity_group_structure():
 
 def test_unimodal_align_weight_value_and_structure():
     """``unimodal_align_weight``: the loss grows by exactly
-    w * KL(q_unimodal || q_joint) (hand-computed from the same fused
-    posteriors), the metric is exposed, and both folds agree."""
+    w * beta * KL(q_unimodal || q_joint) (beta-ramped like the ELBO's
+    KL; hand-computed from the same fused posteriors), the metric is
+    the RAW KL, and both folds agree."""
     from mmvae_tpu.core import elbo_subset_masks, kl_gauss_gauss
     from mmvae_tpu.core.poe import product_of_experts
 
@@ -598,7 +599,8 @@ def test_unimodal_align_weight_value_and_structure():
     for fold in ("t", "b"):
         loss_w, m = run(2.0, fold)
         np.testing.assert_allclose(
-            float(loss_w), float(base) + 2.0 * float(m["align_kl"]),
+            float(loss_w),
+            float(base) + 2.0 * 0.5 * float(m["align_kl"]),
             rtol=1e-6,
         )
         assert float(m["align_kl"]) > 0.0
