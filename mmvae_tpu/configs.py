@@ -55,6 +55,10 @@ class ExperimentConfig:
     # posterior -> render bernoulli modalities -> re-encode -> decode the
     # sequence back, CE vs the true sequence (decoders stop-gradiented;
     # trains encoders only -- train/step.py::multi_term_loss)
+    cycle_render_grad: bool = False  # relax the cycle stop-grad on the
+    # RENDER decode only: bernoulli decoders receive the cycle gradient
+    # (measured attack on the low-contrast text-conditioned renders;
+    # re-encode + final seq decode stay stop-gradiented)
     train_size: int = 10000
     test_size: int = 2000
     log_interval: int = 100
@@ -111,18 +115,24 @@ CONFIGS: dict[str, ExperimentConfig] = {
         name="fashionmnist", dataset="fashionmnist", n_latents=64,
     ),
     # 3. MultiMNIST -- conv encoder + digit-string sequence decoder [B:9]
-    # Validated settings (round 2, BASELINE.md: 89.0% per-token / 79.1%
-    # exact-match image->digit-string): 256-latent, 4-stage conv, wider
-    # GRU, cross-recon terms, 100k synthetic train set. (The round-1
-    # 128-latent/3-stage variant scored 79.7%/66.0% -- exact-match was
-    # capacity-limited.)
+    # Validated settings (rounds 2-3, BASELINE.md): 256-latent, 4-stage
+    # conv, wider GRU, cross-recon terms, 100k synthetic train set
+    # (round 2: 89.0% per-token / 79.1% exact image->digit-string; the
+    # round-1 128-latent/3-stage variant scored 79.7%/66.0% --
+    # exact-match was capacity-limited). Round 3 adds the measured
+    # text->image fix: cycle_weight=1 + a 128-dim content slice
+    # (text_latent_dims) lifts text->image->text from 3.9% to 87.9%
+    # exact (90.6% multiset) at ~1.6pt image->text cost -- the only
+    # knob of five measured that moved the round trip (BASELINE.md).
     "multimnist": ExperimentConfig(
         name="multimnist", dataset="multimnist", n_latents=256,
         cross_recon=True, grad_clip=500.0, epochs=60, train_size=100000,
+        cycle_weight=1.0,
         model_kwargs={
             "conv_features": (32, 64, 128, 256),
             "lambda_text": 30.0,
             "text_hidden": 256,
+            "text_latent_dims": 128,
         },
     ),
     # 4. CelebA image + 18 attrs -- per-attribute experts, k subsets [B:10]

@@ -42,7 +42,7 @@ def main() -> None:
     # whichever mode won? (HBM-capacity bounded; may OOM -- report it.)
     best_mode = max(
         (r for r in results if r["dtype"] == "bfloat16"),
-        key=lambda r: r["samples_per_sec_per_chip"],
+        key=lambda r: r["samples_per_sec"],
     )["upsample_mode"]
     try:
         r = bench.measure_jax_celeba(

@@ -9,7 +9,7 @@ cd "$(dirname "$0")/.."
 RUNS=${RUNS:-/tmp/mm_exp}
 mkdir -p "$RUNS"
 
-for name in mm_stopgrad mm_sg_align mm_align mm_factored_nocross; do
+for name in mm_stopgrad mm_sg_align mm_align mm_cycle mm_factored_nocross; do
   if [ ! -f "$RUNS/$name/quality.json" ]; then
     python -m mmvae_tpu.cli train --config multimnist \
       --workdir "$RUNS/$name" --config-file "tools/$name.json"
