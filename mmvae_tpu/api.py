@@ -229,6 +229,7 @@ def train(
             config, "unimodal_align_weight", 0.0
         ),
         cycle_weight=getattr(config, "cycle_weight", 0.0),
+        cycle_render_grad=getattr(config, "cycle_render_grad", False),
     )
     n_mesh_devices = 1 if mesh is None else int(mesh.devices.size)
     # The in-program shuffle+gather fast path composes with the DP mesh

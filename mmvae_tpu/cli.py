@@ -41,6 +41,7 @@ def _overrides(args, config):
         "cross_recon_stopgrad",
         "unimodal_align_weight",
         "cycle_weight",
+        "cycle_render_grad",
     ):
         v = getattr(args, field, None)
         if v is not None:
@@ -139,6 +140,12 @@ def main(argv=None) -> int:
         help="generation-path cycle consistency: seq-only posterior -> "
         "render image -> re-encode -> decode the sequence back, CE vs "
         "the true sequence (decoders stop-gradiented: encoders only)",
+    )
+    pt.add_argument(
+        "--cycle-render-grad", dest="cycle_render_grad",
+        action="store_true", default=None,
+        help="let the cycle term's RENDER decode train the bernoulli "
+        "decoders (re-encode and final seq decode stay stop-gradiented)",
     )
     pt.add_argument(
         "--shuffle-granularity", dest="shuffle_granularity", type=int,

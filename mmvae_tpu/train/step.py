@@ -137,6 +137,7 @@ def multi_term_loss(
     cross_recon_stopgrad: bool = False,
     unimodal_align_weight: float = 0.0,
     cycle_weight: float = 0.0,
+    cycle_render_grad: bool = False,
     mesh=None,
     term_fold: str = "b",
 ):
@@ -156,6 +157,16 @@ def multi_term_loss(
     directly optimizes the text->image->text round trip that the
     round-3 hybrid-latent ablation localized to content/style
     information allocation (BASELINE.md MultiMNIST row).
+
+    ``cycle_render_grad`` relaxes the stop-grad on the RENDER decode
+    only (the bernoulli decoders receive the cycle gradient; the
+    re-encode and the final seq decode stay stop-gradiented): the
+    decoder is then pressured to render text-conditioned latents the
+    image encoder -- itself trained on real digits -- can read, the
+    measured attack on the "machine-readable but low-contrast" residual
+    of the encoder-only cycle (BASELINE.md). The steganography risk
+    returns partially; judge it by the re-read metric AND the pixel
+    contrast of the conditioned decode.
 
     ``unimodal_align_weight`` > 0 adds a posterior-distillation
     regularizer: ``w * beta * KL(q(z|S) || stop_grad(q(z|joint)))``
@@ -442,6 +453,25 @@ def multi_term_loss(
                 "cycle_weight needs a seq and a bernoulli modality"
             )
         sg_vars = {"params": _sg_decoder_params(params)}
+        if cycle_render_grad:
+            # The RENDER decode keeps live bernoulli-decoder params (the
+            # cycle gradient reaches the image decoder); everything
+            # downstream of the render stays stop-gradiented.
+            live = {f"{specs[m_i].name}_dec" for m_i in ber_idx}
+            render_vars = {
+                "params": {
+                    k: (
+                        v
+                        if k in live
+                        else (
+                            jax.lax.stop_gradient(v) if "dec" in k else v
+                        )
+                    )
+                    for k, v in params.items()
+                }
+            }
+        else:
+            render_vars = sg_vars
         # Re-encode presence: only the rendered bernoulli modalities are
         # observed on the second pass (other kinds keep placeholder data
         # but contribute no expert).
@@ -452,7 +482,7 @@ def multi_term_loss(
         for s_i in seq_idx:
             term = 1 + s_i  # unimodal term of modality s (mask row)
             z_s = z[term] if term_fold == "t" else z[:, term]
-            rendered = model.apply(sg_vars, z_s, data, method="decode")
+            rendered = model.apply(render_vars, z_s, data, method="decode")
             re_batch = dict(data)
             for m_i in ber_idx:
                 name = specs[m_i].name
@@ -485,6 +515,7 @@ def make_train_step(
     cross_recon_stopgrad: bool = False,
     unimodal_align_weight: float = 0.0,
     cycle_weight: float = 0.0,
+    cycle_render_grad: bool = False,
     out_state_shardings=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -512,6 +543,7 @@ def make_train_step(
         cross_recon_stopgrad=cross_recon_stopgrad,
         unimodal_align_weight=unimodal_align_weight,
         cycle_weight=cycle_weight,
+        cycle_render_grad=cycle_render_grad,
         mesh=_mesh_of(out_state_shardings),
         term_fold=term_fold,
     )
@@ -544,6 +576,7 @@ def _train_step_impl(
     cross_recon_stopgrad: bool = False,
     unimodal_align_weight: float = 0.0,
     cycle_weight: float = 0.0,
+    cycle_render_grad: bool = False,
     mesh=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -579,6 +612,7 @@ def _train_step_impl(
         cross_recon_stopgrad=cross_recon_stopgrad,
         unimodal_align_weight=unimodal_align_weight,
         cycle_weight=cycle_weight,
+        cycle_render_grad=cycle_render_grad,
                 mesh=mesh,
                 term_fold=term_fold,
             )
@@ -606,6 +640,7 @@ def make_epoch_runner(
     cross_recon_stopgrad: bool = False,
     unimodal_align_weight: float = 0.0,
     cycle_weight: float = 0.0,
+    cycle_render_grad: bool = False,
     out_state_shardings=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -630,6 +665,7 @@ def make_epoch_runner(
         cross_recon_stopgrad=cross_recon_stopgrad,
         unimodal_align_weight=unimodal_align_weight,
         cycle_weight=cycle_weight,
+        cycle_render_grad=cycle_render_grad,
         mesh=_mesh_of(out_state_shardings),
         term_fold=term_fold,
     )
@@ -663,6 +699,7 @@ def make_gather_epoch_runner(
     cross_recon_stopgrad: bool = False,
     unimodal_align_weight: float = 0.0,
     cycle_weight: float = 0.0,
+    cycle_render_grad: bool = False,
     reshuffle_every: int = 1,
     n_shards: int = 1,
     shuffle_mode: str = "roll",
@@ -760,6 +797,7 @@ def make_gather_epoch_runner(
         cross_recon_stopgrad=cross_recon_stopgrad,
         unimodal_align_weight=unimodal_align_weight,
         cycle_weight=cycle_weight,
+        cycle_render_grad=cycle_render_grad,
         term_fold=term_fold,
         mesh=mesh if term_fold == "st" else None,
     )

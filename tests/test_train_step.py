@@ -757,3 +757,43 @@ def test_cycle_is_encoder_only():
                 for x, y in zip(a, b)
             )
     assert changed  # encoders did receive the cycle gradient
+
+
+def test_cycle_render_grad_reaches_image_decoder_only():
+    """``cycle_render_grad=True``: the forward loss is UNCHANGED (same
+    value as the stop-grad cycle), the bernoulli (image) decoder now
+    receives the cycle gradient via the render decode, and the seq
+    decoder still does not (the re-read path stays stop-gradiented)."""
+    from mmvae_tpu.train.step import multi_term_loss
+
+    model, batch, state = _setup_multimnist()
+    rng = jax.random.key(11)
+
+    def loss_and_grads(w, render_grad):
+        def f(p):
+            return multi_term_loss(
+                model, p, batch, rng, beta=0.7,
+                cycle_weight=w, cycle_render_grad=render_grad,
+                sample=False,
+            )[0]
+
+        return float(f(state.params)), jax.grad(f)(state.params)
+
+    l_sg, g_sg = loss_and_grads(5.0, False)
+    l_rg, g_rg = loss_and_grads(5.0, True)
+    _, g_off = loss_and_grads(0.0, False)
+    # Forward value is a function of the same params either way.
+    np.testing.assert_allclose(l_rg, l_sg, rtol=1e-6)
+
+    def differs(a, b):
+        return any(
+            not np.allclose(np.asarray(x), np.asarray(y))
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+        )
+
+    # Image decoder: untouched by the sg cycle, trained by render-grad.
+    assert not differs(g_sg["image_dec"], g_off["image_dec"])
+    assert differs(g_rg["image_dec"], g_off["image_dec"])
+    # Seq decoder: stop-gradiented on the cycle path in BOTH modes.
+    assert not differs(g_sg["text_dec"], g_off["text_dec"])
+    assert not differs(g_rg["text_dec"], g_off["text_dec"])
