@@ -122,12 +122,15 @@ CONFIGS: dict[str, ExperimentConfig] = {
     # exact-match was capacity-limited). Round 3 adds the measured
     # text->image fix: cycle_weight=1 + a 128-dim content slice
     # (text_latent_dims) lifts text->image->text from 3.9% to 87.9%
-    # exact (90.6% multiset) at ~1.6pt image->text cost -- the only
-    # knob of five measured that moved the round trip (BASELINE.md).
+    # exact -- the only knob of five measured that moved the round trip
+    # -- and cycle_render_grad=True (the render decode also trains the
+    # image decoder) takes it to 98.4% exact while IMPROVING
+    # image->text (78.7%/86.5% multiset) and test ELBO (497.5 vs
+    # 520.2); renders stay low-contrast either way (BASELINE.md).
     "multimnist": ExperimentConfig(
         name="multimnist", dataset="multimnist", n_latents=256,
         cross_recon=True, grad_clip=500.0, epochs=60, train_size=100000,
-        cycle_weight=1.0,
+        cycle_weight=1.0, cycle_render_grad=True,
         model_kwargs={
             "conv_features": (32, 64, 128, 256),
             "lambda_text": 30.0,
