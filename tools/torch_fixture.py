@@ -496,3 +496,167 @@ def torch_celeba_twin_loss(
         kl = -0.5 * torch.sum(1 + lv - mu.pow(2) - lv.exp(), dim=-1)
         total = total + loss + beta * kl
     return total.mean()
+
+
+# ---------------------------------------------------------------------------
+# MultiMNIST twin (round 3): conv image expert + explicit-GRU seq expert.
+# Like TorchCelebATwin, the twin REGISTERS the flax param tree directly and
+# reimplements the forward math in eager torch, so trajectory parity trains
+# the exact same weights on both sides. The GRU is the repo's explicit cell
+# (models/text.py::_gru_step -- single bias, b_n OUTSIDE the r-gate product,
+# so torch.nn.GRUCell is NOT equivalent); the conv stack needs XLA-SAME
+# asymmetric padding because 50x50 halves to odd sizes (50 -> 25 -> 13).
+# ---------------------------------------------------------------------------
+
+
+def torch_gru_step(h, xw, u, b):
+    """models/text.py::_gru_step in eager torch (same gate layout)."""
+    hidden = h.shape[-1]
+    gates = xw[..., : 2 * hidden] + h @ u[:, : 2 * hidden] + b[: 2 * hidden]
+    r = torch.sigmoid(gates[..., :hidden])
+    zg = torch.sigmoid(gates[..., hidden : 2 * hidden])
+    n = torch.tanh(
+        xw[..., 2 * hidden :] + r * (h @ u[:, 2 * hidden :]) + b[2 * hidden :]
+    )
+    return (1.0 - zg) * n + zg * h
+
+
+def _xla_same_pad(hw, k=4, s=2):
+    """F.pad arg replicating XLA/TF SAME for a k x k stride-s conv:
+    per dim, total = max((ceil(d/s)-1)*s + k - d, 0), lo = total // 2."""
+    pads = []
+    for d in reversed(hw):  # F.pad wants (w_lo, w_hi, h_lo, h_hi)
+        out = -(-d // s)
+        total = max((out - 1) * s + k - d, 0)
+        pads += [total // 2, total - total // 2]
+    return pads
+
+
+class TorchMultiMnistTwin(nn.Module):
+    """MultiMNIST MVAE twin over a flax param tree (reference semantics:
+    no cross-recon / cycle; ``text_latent_dims`` must be 0)."""
+
+    START, PAD = 1, 0
+
+    def __init__(self, flax_params, n_latents, feats=(4, 8)):
+        super().__init__()
+        self.n_latents = n_latents
+        self.feats = tuple(feats)
+        self.params = nn.ParameterDict()
+        self._register("", flax_params)
+
+    def _register(self, prefix, tree):
+        for k, v in tree.items():
+            key = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                self._register(key, v)
+            else:
+                self.params[key] = nn.Parameter(
+                    torch.from_numpy(np.array(v, copy=True))
+                )
+
+    def _p(self, key):
+        return self.params[key]
+
+    def image_encode(self, x):  # (B, 50, 50) in [0,1]
+        h = x[:, None]  # NCHW grayscale
+        for i in range(len(self.feats)):
+            w = self._p(f"image_enc/Conv_{i}/kernel").permute(3, 2, 0, 1)
+            b = self._p(f"image_enc/Conv_{i}/bias")
+            h = F.pad(h, _xla_same_pad(h.shape[-2:]))
+            h = swish(F.conv2d(h, w, b, stride=2))
+        h = h.permute(0, 2, 3, 1).flatten(1)  # flax flattens NHWC
+        h = swish(h @ self._p("image_enc/Dense_0/kernel")
+                  + self._p("image_enc/Dense_0/bias"))
+        o = (h @ self._p("image_enc/Dense_1/kernel")
+             + self._p("image_enc/Dense_1/bias"))
+        return o[:, : self.n_latents], o[:, self.n_latents :]
+
+    def text_encode(self, tokens):  # (B, T) long
+        emb = self._p("text_enc/Embed_0/embedding")[tokens]  # (B, T, E)
+        xw = emb @ self._p("text_enc/w_in")
+        u, b = self._p("text_enc/u_rec"), self._p("text_enc/b")
+        mask = (tokens != self.PAD).to(xw.dtype)
+        h = torch.zeros(tokens.shape[0], u.shape[0], dtype=xw.dtype)
+        for t in range(tokens.shape[1]):
+            h_new = torch_gru_step(h, xw[:, t], u, b)
+            h = mask[:, t, None] * h_new + (1.0 - mask[:, t, None]) * h
+        o = (h @ self._p("text_enc/Dense_0/kernel")
+             + self._p("text_enc/Dense_0/bias"))
+        return o[:, : self.n_latents], o[:, self.n_latents :]
+
+    def image_decode(self, z):  # -> (B, 50, 50) logits
+        h = swish(z @ self._p("image_dec/Dense_0/kernel")
+                  + self._p("image_dec/Dense_0/bias"))
+        h = swish(h @ self._p("image_dec/Dense_1/kernel")
+                  + self._p("image_dec/Dense_1/bias"))
+        rfeats = tuple(reversed(self.feats))  # decoder feature order
+        base = -(-50 // (2 ** len(rfeats)))
+        h = h.view(-1, base, base, rfeats[0]).permute(0, 3, 1, 2)
+        n = len(rfeats)
+        for i in range(n):
+            k = self._p(f"image_dec/ConvTranspose_{i}/kernel")
+            w = torch.flip(k, dims=(0, 1)).permute(2, 3, 0, 1)
+            b = self._p(f"image_dec/ConvTranspose_{i}/bias")
+            h = F.conv_transpose2d(h, w, b, stride=2, padding=1)
+            if i < n - 1:
+                h = swish(h)
+        return h[:, 0, :50, :50]  # flax top-left crop + channel squeeze
+
+    def text_decode(self, z, targets):  # teacher-forced (B, T, V) logits
+        inputs = torch.cat(
+            [torch.full_like(targets[:, :1], self.START), targets[:, :-1]],
+            dim=1,
+        )
+        emb = self._p("text_dec/embed/embedding")[inputs]
+        xw = emb @ self._p("text_dec/w_in")
+        u, b = self._p("text_dec/u_rec"), self._p("text_dec/b")
+        h = torch.tanh(z @ self._p("text_dec/init_proj/kernel")
+                       + self._p("text_dec/init_proj/bias"))
+        hs = []
+        for t in range(targets.shape[1]):
+            h = torch_gru_step(h, xw[:, t], u, b)
+            hs.append(h)
+        hs = torch.stack(hs, dim=1)
+        return (hs @ self._p("text_dec/out_proj/kernel")
+                + self._p("text_dec/out_proj/bias"))
+
+
+def torch_multimnist_twin_loss(
+    twin, image, text, beta=1.0, sample=False,
+    lambda_image=1.0, lambda_text=10.0,
+):
+    """3 fixed terms (joint, image-only, text-only), reference semantics,
+    batch mean -- the multi_term_loss twin for trajectory parity."""
+    mu_i, lv_i = twin.image_encode(image)
+    mu_t, lv_t = twin.text_encode(text)
+    total = torch.zeros(image.shape[0])
+    for subset in ([True, True], [True, False], [False, True]):
+        mus = [torch.zeros_like(mu_i[:, None])]
+        lvs = [torch.zeros_like(lv_i[:, None])]
+        if subset[0]:
+            mus.append(mu_i[:, None]); lvs.append(lv_i[:, None])
+        if subset[1]:
+            mus.append(mu_t[:, None]); lvs.append(lv_t[:, None])
+        mu, lv = torch_poe(torch.cat(mus, 1), torch.cat(lvs, 1))
+        z = (
+            mu + torch.randn_like(mu) * torch.exp(0.5 * lv)
+            if sample
+            else mu
+        )
+        term = -0.5 * torch.sum(1 + lv - mu * mu - torch.exp(lv), dim=-1)
+        term = beta * term
+        if subset[0]:
+            term = term + lambda_image * F.binary_cross_entropy_with_logits(
+                twin.image_decode(z), image, reduction="none"
+            ).sum(dim=(1, 2))
+        if subset[1]:
+            logits = twin.text_decode(z, text)
+            ce = F.cross_entropy(
+                logits.reshape(-1, logits.shape[-1]), text.reshape(-1),
+                reduction="none",
+            ).view(text.shape)
+            mask = (text != twin.PAD).to(ce.dtype)
+            term = term + lambda_text * (ce * mask).sum(dim=1)
+        total = total + term
+    return total.mean()

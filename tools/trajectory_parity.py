@@ -55,6 +55,9 @@ DEFAULTS = {
     "celeba": dict(epochs=4, train_size=256, test_size=64,
                    batch_size=32, n_latents=16, annealing_epochs=2,
                    seeds=2),
+    "multimnist": dict(epochs=8, train_size=1024, test_size=256,
+                       batch_size=128, n_latents=16, annealing_epochs=4,
+                       seeds=2),
 }
 
 
@@ -226,6 +229,53 @@ def train_torch_celeba(train_arrays, test_arrays, perms, init_flax_params,
     return curve
 
 
+def train_torch_multimnist(train_arrays, test_arrays, perms,
+                           init_flax_params, *, n_latents,
+                           annealing_steps, lr, sample, seed,
+                           feats=(8, 16)):
+    import torch
+
+    from torch_fixture import (
+        TorchMultiMnistTwin,
+        torch_multimnist_twin_loss,
+    )
+
+    torch.manual_seed(seed)
+    twin = TorchMultiMnistTwin(init_flax_params, n_latents, feats=feats)
+    opt = torch.optim.Adam(twin.parameters(), lr=lr)
+    timages = torch.from_numpy(train_arrays["image"])
+    ttext = torch.from_numpy(train_arrays["text"]).long()
+    t_test_i = torch.from_numpy(test_arrays["image"])
+    t_test_t = torch.from_numpy(test_arrays["text"]).long()
+
+    curve = []
+    global_step = 0
+    for perm in perms:
+        twin.train()
+        losses = []
+        for rows in perm:
+            rows_t = torch.from_numpy(rows)
+            opt.zero_grad()
+            loss = torch_multimnist_twin_loss(
+                twin, timages[rows_t], ttext[rows_t],
+                beta=_beta(global_step, annealing_steps), sample=sample,
+            )
+            loss.backward()
+            opt.step()
+            losses.append(loss.item())
+            global_step += 1
+        twin.eval()
+        with torch.no_grad():
+            test = torch_multimnist_twin_loss(
+                twin, t_test_i, t_test_t, beta=1.0, sample=False
+            ).item()
+        curve.append({
+            "train_loss": float(np.mean(losses)),
+            "test_elbo": float(test),
+        })
+    return curve
+
+
 def _setup(config: str, args):
     """Model + train/test numpy arrays + the torch-side trainer."""
     from mmvae_tpu.data import load_dataset
@@ -241,6 +291,24 @@ def _setup(config: str, args):
             "label": np.asarray(ds.arrays["label"]),
         }
         torch_trainer = train_torch_mnist
+    elif config == "multimnist":
+        from mmvae_tpu.models import MultiMnistMVAE
+
+        # Tiny arch for CPU tractability; the scan-GRU seq encoder +
+        # teacher-forced GRU decoder and the odd-size (50->25->13) conv
+        # stack -- the numerically distinct paths -- are all exercised.
+        model = MultiMnistMVAE(
+            n_latents=args.n_latents, conv_features=(8, 16),
+            text_embed=16, text_hidden=32,
+        )
+        ds = load_dataset("multimnist",
+                          n=args.train_size + args.test_size,
+                          seed=0, device_put=False)
+        arrays = {
+            "image": np.asarray(ds.arrays["image"], dtype=np.float32),
+            "text": np.asarray(ds.arrays["text"]),
+        }
+        torch_trainer = train_torch_multimnist
     elif config == "celeba":
         from mmvae_tpu.models import CelebAMVAE
 
@@ -261,7 +329,8 @@ def _setup(config: str, args):
 
 def run(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", choices=("mnist", "celeba"),
+    ap.add_argument("--config",
+                    choices=("mnist", "celeba", "multimnist"),
                     default="mnist")
     ap.add_argument("--epochs", type=int)
     ap.add_argument("--train-size", type=int)
