@@ -147,9 +147,15 @@ CONFIGS: dict[str, ExperimentConfig] = {
     # Validated settings (round 2, BASELINE.md: 99.9% per-token / 98.8%
     # exact-match captions vs 96.4%/52.3% at 128 latents without
     # cross-recon -- caption exact-match was capacity-limited too).
+    # Round 3: the MultiMNIST cycle fix transfers at LOW weight only --
+    # cycle_weight=0.1 + render-grad lifts caption->image->caption from
+    # 52.7% to 96.1% exact at ~2pt image->caption cost and BETTER test
+    # ELBO (15598 vs 15607); weight 1 instead crashes image->caption to
+    # 51% (both measured, docs/experiments/round3_cub/).
     "cub": ExperimentConfig(
         name="cub", dataset="cub", n_latents=256, batch_size=64,
         cross_recon=True, epochs=60, train_size=16000,
+        cycle_weight=0.1, cycle_render_grad=True,
     ),
 }
 
