@@ -347,6 +347,16 @@ def run(argv=None) -> int:
             setattr(args, k, v)
 
     import jax
+
+    # The torch twins are CPU-only and the side-by-side comparison wants
+    # identical float behavior, so force the CPU backend BEFORE it
+    # initializes -- under the axon sitecustomize the default backend is
+    # the real TPU, where every jit pays a remote compile and the tool
+    # crawls (observed: 25 min of near-zero progress mid-round-3).
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass  # backend already initialized (e.g. driven from a test)
     import jax.numpy as jnp
 
     if jax.default_backend() == "cpu":
