@@ -502,3 +502,40 @@ def test_st_fold_seq_model_matches_b_fold():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
         )
+
+
+@pytest.mark.slow
+def test_cycle_term_matches_b_fold_under_mesh():
+    """The cycle term (now the multimnist/cub DEFAULT) composes with the
+    mesh: st-vs-b loss/grad parity with cycle_weight>0 + render-grad.
+    The cycle path runs on the global (B, L) unimodal z outside the
+    shard_map'd decode+NLL pass, so it must be fold-invariant."""
+    from mmvae_tpu.data import load_dataset
+    from mmvae_tpu.models import MultiMnistMVAE
+    from mmvae_tpu.train import multi_term_loss
+
+    model = MultiMnistMVAE(n_latents=8)
+    ds = load_dataset("multimnist", n=16, seed=0)
+    state = create_train_state(model, ds.arrays, jax.random.key(0), 1e-3)
+    mesh = make_mesh()
+    sharded = shard_batch(dict(ds.arrays), mesh)
+    rng = jax.random.key(17)
+
+    def loss_grads(fold, mesh_arg):
+        def f(p):
+            return multi_term_loss(
+                model, p, sharded, rng, beta=0.6, term_fold=fold,
+                mesh=mesh_arg, sample=True, cross_recon=True,
+                cycle_weight=1.0, cycle_render_grad=True,
+            )[0]
+
+        loss, grads = jax.value_and_grad(f)(state.params)
+        return float(loss), grads
+
+    lb, gb = loss_grads("b", None)
+    ls, gs = loss_grads("st", mesh)
+    np.testing.assert_allclose(lb, ls, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gb), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        )
