@@ -11,9 +11,17 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # 8 virtual devices share ONE physical core here: a heavy program's
+    # per-participant work can exceed XLA:CPU's collective-rendezvous
+    # watchdog, which CHECK-fails the whole process ("Termination
+    # timeout for all reduce ... Fatal Python error: Aborted" -- seen
+    # flakily on the shard_map'd cycle-term test under suite load).
+    # The collectives are in-process; a stuck rendezvous here means a
+    # slow core, not a lost peer -- give it the room a real run needs.
+    flags += " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
@@ -29,8 +37,11 @@ jax.config.update("jax_platforms", "cpu")
 # tests never touch the axon backend -- with the remote-TPU relay the
 # persistent cache deadlocks result fetches (docs/DESIGN.md section 7);
 # do NOT copy this setting into TPU-facing code.
-_cache_dir = os.path.join(os.path.dirname(__file__), ".xla_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# The cache dir is keyed on the HOST CPU's feature set: this VM
+# migrates between physical hosts, and XLA:CPU AOT results compiled
+# with one host's features can SIGILL on another (cpu_aot_loader logs
+# a machine-type mismatch). See mmvae_tpu/utils/cpu_cache.py.
+from mmvae_tpu.utils.cpu_cache import enable_cpu_cache  # noqa: E402
+
+enable_cpu_cache(os.path.dirname(__file__))
 

@@ -361,14 +361,11 @@ def run(argv=None) -> int:
 
     if jax.default_backend() == "cpu":
         # Persistent cache for the (identical run-over-run) CPU compiles
-        # -- safe ONLY off the axon relay (docs/DESIGN.md section 7).
-        cache = str(Path(__file__).resolve().parent.parent
-                    / "tests" / ".xla_cache")
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update(
-            "jax_persistent_cache_min_compile_time_secs", 0.3
-        )
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        # -- safe ONLY off the axon relay (docs/DESIGN.md section 7);
+        # host-feature-keyed (mmvae_tpu/utils/cpu_cache.py).
+        from mmvae_tpu.utils.cpu_cache import enable_cpu_cache
+
+        enable_cpu_cache()
 
     model, train, test, torch_trainer = _setup(args.config, args)
     steps_per_epoch = args.train_size // args.batch_size
