@@ -254,10 +254,10 @@ def measure_jax(
         reshuffle_every=reshuffle_every, shuffle_mode=shuffle_mode,
         shuffle_granularity=shuffle_granularity,
     )
-    if data_dtype == "bfloat16":
+    if data_dtype != "float32":
         from mmvae_tpu.data import dataset_astype
 
-        ds = dataset_astype(ds, jnp.bfloat16)
+        ds = dataset_astype(ds, getattr(jnp, data_dtype))
     flops_per_step = _program_flops(runner, state, ds.arrays)
 
     if flops_per_step is None:
@@ -385,10 +385,10 @@ def measure_jax_celeba(
         reshuffle_every=reshuffle_every,
     )
     arrays = ds.arrays
-    if data_dtype == "bfloat16":
+    if data_dtype != "float32":
         from mmvae_tpu.data import dataset_astype
 
-        arrays = dataset_astype(ds, jnp.bfloat16).arrays
+        arrays = dataset_astype(ds, getattr(jnp, data_dtype)).arrays
     flops_per_step = _program_flops(runner, state, arrays)
     if flops_per_step is None:
         flops_per_step = _flops_via_cpu("celeba", batch, steps, dtype)

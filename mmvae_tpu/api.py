@@ -88,6 +88,15 @@ def _resolve_with_workdir(config, workdir: str | None) -> ExperimentConfig:
     return _resolve(config)
 
 
+# Storage dtypes the ``data_dtype`` knob accepts for float modalities
+# (int/token modalities are never touched).
+_DATA_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "uint8": jnp.uint8,
+}
+
+
 def _grain_epoch(train_ds, config, model, seed: int, sharding=None):
     """One epoch through the Grain pipeline ([B:5]), stacked for the
     scan-fused runner: Grain does the shuffle + modality-dropout on the
@@ -111,17 +120,23 @@ def _grain_epoch(train_ds, config, model, seed: int, sharding=None):
     stacked = {
         k: np.stack([b[k] for b in steps]) for k in steps[0]
     }
-    if config.data_dtype == "bfloat16":
+    if config.data_dtype != "float32":
         # Same bandwidth knob as the device backend: float modalities
         # ship and stream as bf16 (halves the host->device transfer AND
-        # the per-step HBM batch read); int/token modalities untouched,
-        # eval data stays f32.
+        # the per-step HBM batch read) or uint8 (quarter bytes, exact
+        # for 8-bit-native real data; dequantized in-program); int/token
+        # modalities untouched, eval data stays f32.
+        dt = _DATA_DTYPES[config.data_dtype]
+        if dt == jnp.uint8:
+            def cast(v):
+                return np.round(np.clip(v, 0.0, 1.0) * 255.0).astype(
+                    np.uint8
+                )
+        else:
+            def cast(v):
+                return v.astype(dt)
         stacked = {
-            k: (
-                v.astype(jnp.bfloat16)
-                if v.dtype == np.float32
-                else v
-            )
+            k: (cast(v) if v.dtype == np.float32 else v)
             for k, v in stacked.items()
         }
     if sharding is not None:
@@ -167,17 +182,21 @@ def train(
         config.dataset, "test", n=config.test_size,
         gen_kwargs=config.data_kwargs,
     )
-    if config.data_dtype == "bfloat16" and config.data_backend == "device":
-        # Store the device-resident float modalities in bf16 ONCE:
-        # every epoch's gather and every step's batch read then move
-        # half the HBM bytes (measured 2.3x on the MNIST bf16 point,
-        # loss trajectories identical -- docs/DESIGN.md section 10).
-        # Eval data stays f32: the parity metric is untouched. (The
-        # grain backend applies the same cast per stacked epoch in
-        # ``_grain_epoch``.)
+    if config.data_dtype != "float32" and config.data_backend == "device":
+        # Store the device-resident float modalities in bf16 or uint8
+        # ONCE: every epoch's gather and every step's batch read then
+        # move half (bf16) or a quarter (uint8) of the f32 HBM bytes
+        # (measured 2.3x on the MNIST bf16 point, loss trajectories
+        # identical -- docs/DESIGN.md section 10; uint8 is exact for
+        # 8-bit-native real image data and dequantizes in-program,
+        # train/step.py::_dequant_data). Eval data stays f32: the
+        # parity metric is untouched. (The grain backend applies the
+        # same cast per stacked epoch in ``_grain_epoch``.)
         from mmvae_tpu.data import dataset_astype
 
-        train_ds = dataset_astype(train_ds, jnp.bfloat16)
+        train_ds = dataset_astype(
+            train_ds, _DATA_DTYPES[config.data_dtype]
+        )
     steps_per_epoch = train_ds.size // config.batch_size
     annealing_steps = config.annealing_epochs * steps_per_epoch
 

@@ -161,10 +161,11 @@ def main(argv=None) -> int:
     )
     pt.add_argument(
         "--data-dtype", dest="data_dtype",
-        choices=["float32", "bfloat16"],
-        help="stacked-batch storage dtype for float modalities "
-        "(bfloat16 halves the per-step HBM batch read; train data "
-        "only, eval stays f32)",
+        choices=["float32", "bfloat16", "uint8"],
+        help="storage dtype for resident float modalities (bfloat16 "
+        "halves the per-step HBM batch read, uint8 quarters it and is "
+        "exact for 8-bit-native image data; train data only, eval "
+        "stays f32)",
     )
     pt.add_argument(
         "--config-file", dest="config_file", default=None,

@@ -70,7 +70,9 @@ class ExperimentConfig:
     data_dtype: str = "float32"  # stacked-batch storage dtype for float
     # modalities ("bfloat16" halves the per-step HBM batch read; measured
     # 2.3x on the MNIST bf16 point with identical loss trajectories --
-    # docs/DESIGN.md section 10; eval/test data stays f32)
+    # docs/DESIGN.md section 10; "uint8" quarters it, quantizing to the
+    # 1/255 grid -- EXACT for 8-bit-native real image data and 0/1
+    # labels/attrs, dequantized in-program; eval/test data stays f32)
     accum_steps: int = 1  # gradient accumulation: average grads over k
     # micro-batches before one Adam update (optax.MultiSteps; effective
     # batch = k * batch_size at per-micro-batch memory)

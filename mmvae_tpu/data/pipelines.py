@@ -142,10 +142,30 @@ def dataset_astype(dataset: "Dataset", dtype) -> "Dataset":
 
     The ``data_dtype="bfloat16"`` knob: halves the per-step HBM batch
     read on device-resident training data (int/token modalities are
-    untouched). One cast at load time, not per epoch."""
+    untouched). One cast at load time, not per epoch.
+
+    ``dtype=uint8`` quantizes instead (``round(clip(x, 0, 1) * 255)``):
+    4x fewer resident bytes than f32, 2x fewer than bf16 -- and for
+    8-bit-native real image data (MNIST/CelebA/CUB distributions ship
+    uint8 pixels) the quantization is EXACT, f32 residency being the
+    inflated format. Float modalities in this family are bernoulli
+    targets/inputs in [0, 1] by model contract (0/1-valued labels and
+    attrs survive the round trip bit-exactly; continuous synthetic
+    pixels pick up <=1/510 rounding). The train step dequantizes
+    in-program (``train/step.py::_dequant_data``) with a convert that
+    fuses into the consuming encoder/NLL ops."""
+    dtype = jnp.dtype(dtype)
+    if dtype == jnp.uint8:
+        def cast(v):
+            return jnp.round(jnp.clip(v, 0.0, 1.0) * 255.0).astype(
+                jnp.uint8
+            )
+    else:
+        def cast(v):
+            return v.astype(dtype)
     return Dataset(
         arrays={
-            k: (v.astype(dtype) if v.dtype == jnp.float32 else v)
+            k: (cast(v) if v.dtype == jnp.float32 else v)
             for k, v in dataset.arrays.items()
         },
         size=dataset.size,

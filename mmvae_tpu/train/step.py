@@ -108,6 +108,30 @@ def _constrain_rows(tree, mesh):
     return jax.tree.map(c, tree)
 
 
+def _dequant_data(data, dtype):
+    """uint8-resident modalities -> floats in [0, 1] (fused convert).
+
+    The ``data_dtype="uint8"`` knob stores float modalities as uint8 in
+    HBM (4x fewer resident bytes than f32, 2x fewer than bf16 -- see
+    ``data/pipelines.py::dataset_astype``). The dequant sits INSIDE the
+    step program so the epoch runner's shuffle/roll/slice all move uint8
+    bytes; the convert+scale is elementwise and fuses into the consuming
+    encoder matmul / term-tiled NLL read, so the float pixels never
+    materialize in HBM. ``dtype`` is the model's compute dtype -- the
+    same dtype the bf16-resident path feeds, keeping downstream programs
+    identical."""
+    return {
+        k: (
+            # Division, not multiply-by-reciprocal: 255/255 == 1.0
+            # exactly, so 0/1-valued labels/attrs dequantize bit-exact.
+            v.astype(dtype) / jnp.asarray(255.0, dtype)
+            if v.dtype == jnp.uint8
+            else v
+        )
+        for k, v in data.items()
+    }
+
+
 def _sg_decoder_params(params):
     """Copy of ``params`` with every decoder subtree stop-gradiented.
 
@@ -227,6 +251,7 @@ def multi_term_loss(
     n_terms = masks.shape[0]
     presence = batch.get("presence")
     data = {k: v for k, v in batch.items() if k != "presence"}
+    data = _dequant_data(data, getattr(model, "dtype", jnp.float32))
 
     variables = {"params": params}
     mu_e, lv_e = model.apply(variables, data, method="encode")  # (B, M, L)

@@ -333,3 +333,23 @@ def test_term_fold_orders_agree():
                     atol=1e-5,
                     err_msg=k,
                 )
+
+
+def test_data_dtype_uint8_trains(tmp_path):
+    """config.data_dtype='uint8' (uint8-resident training data; quarter
+    the f32 HBM bytes, exact for 8-bit-native real data) trains end to
+    end through api.train and lands within noise of the f32 run."""
+    base = get_config("mnist").replace(
+        n_latents=8, epochs=1, batch_size=32, train_size=64,
+        test_size=32, annealing_epochs=1,
+    )
+    r32 = api.train(base, None, use_mesh=False, verbose=False)
+    ru8 = api.train(
+        base.replace(data_dtype="uint8"), None, use_mesh=False,
+        verbose=False,
+    )
+    assert np.isfinite(ru8.best_test_elbo)
+    # Same data on the 1/255 grid: trajectories agree within noise.
+    np.testing.assert_allclose(
+        ru8.best_test_elbo, r32.best_test_elbo, rtol=0.02
+    )

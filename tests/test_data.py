@@ -368,3 +368,30 @@ def test_cub_vocab_cache_keyed_on_max_words(tmp_path):
     small = formats.cub_data_vocab(str(d), max_words=4)
     assert len(big) > len(small)
     formats._VOCAB_CACHE.clear()
+
+
+def test_dataset_astype_uint8_quantization():
+    """uint8 residency: floats quantize to the 1/255 grid (exact for
+    0/1-valued attrs, <=1/510 for continuous pixels); ints untouched."""
+    from mmvae_tpu.data import dataset_astype
+    import jax.numpy as jnp
+
+    ds = load_dataset("celeba", n=16, seed=0)
+    q = dataset_astype(ds, jnp.uint8)
+    assert q.arrays["image"].dtype == jnp.uint8
+    assert q.arrays["attrs"].dtype == jnp.uint8
+    # 0/1-valued attrs survive the round trip bit-exactly (division:
+    # 0/255 and 255/255 are exact).
+    back = np.asarray(q.arrays["attrs"]).astype(np.float32) / 255.0
+    np.testing.assert_array_equal(back, np.asarray(ds.arrays["attrs"]))
+    # Continuous pixels: within half a quantization step.
+    img = np.asarray(ds.arrays["image"])
+    back_img = np.asarray(q.arrays["image"]).astype(np.float32) / 255.0
+    assert np.abs(back_img - img).max() <= 0.5 / 255.0 + 1e-7
+
+    ds_t = load_dataset("multimnist", n=8, seed=0)
+    q_t = dataset_astype(ds_t, jnp.uint8)
+    assert q_t.arrays["text"].dtype == ds_t.arrays["text"].dtype
+    np.testing.assert_array_equal(
+        np.asarray(q_t.arrays["text"]), np.asarray(ds_t.arrays["text"])
+    )

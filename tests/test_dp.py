@@ -539,3 +539,52 @@ def test_cycle_term_matches_b_fold_under_mesh():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
         )
+
+
+def test_uint8_residency_composes_with_mesh(setup):
+    """data_dtype="uint8" on the mesh fast path: uint8-resident arrays
+    shuffle/slice as uint8 (quarter the f32 bytes), the in-program
+    dequant runs inside the shard-local fold, and the 8-device run
+    matches the single-device run on the same quantized data."""
+    from mmvae_tpu.data import dataset_astype, load_dataset
+    from mmvae_tpu.parallel import batch_sharding
+    from mmvae_tpu.train import make_gather_epoch_runner
+
+    model = MnistMVAE(n_latents=8)
+    ds = dataset_astype(load_dataset("mnist", n=128, seed=0), jnp.uint8)
+    assert ds.arrays["image"].dtype == jnp.uint8
+
+    def fresh(arrays):
+        return create_train_state(
+            model,
+            {k: v[:16] for k, v in arrays.items()},
+            jax.random.key(0),
+            1e-3,
+        )
+
+    runner = make_gather_epoch_runner(
+        model, 8, 16, annealing_steps=10, reshuffle_every=4, n_shards=8
+    )
+
+    arrs1 = {k: jnp.array(v) for k, v in ds.arrays.items()}
+    s1 = fresh(arrs1)
+    losses1 = []
+    for ep in range(2):
+        s1, arrs1, ms = runner(s1, arrs1, ep == 0)
+        losses1.append(np.asarray(ms["loss"]))
+    assert arrs1["image"].dtype == jnp.uint8  # donated arrays stay u8
+
+    mesh = make_mesh()
+    sh = batch_sharding(mesh)
+    arrs8 = {
+        k: jax.device_put(np.asarray(v), sh) for k, v in ds.arrays.items()
+    }
+    s8 = replicate(fresh(ds.arrays), mesh)
+    losses8 = []
+    for ep in range(2):
+        s8, arrs8, ms = runner(s8, arrs8, ep == 0)
+        losses8.append(np.asarray(ms["loss"]))
+
+    np.testing.assert_allclose(
+        np.concatenate(losses1), np.concatenate(losses8), rtol=2e-4
+    )

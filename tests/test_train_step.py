@@ -797,3 +797,70 @@ def test_cycle_render_grad_reaches_image_decoder_only():
     # Seq decoder: stop-gradiented on the cycle path in BOTH modes.
     assert not differs(g_sg["text_dec"], g_off["text_dec"])
     assert not differs(g_rg["text_dec"], g_off["text_dec"])
+
+
+def test_uint8_residency_matches_prequantized_f32():
+    """data_dtype="uint8": training on uint8-resident arrays must match
+    training on f32 arrays that carry EXACTLY the dequantized values --
+    the in-program dequant (train/step.py::_dequant_data) is the only
+    difference between the two programs."""
+    from mmvae_tpu.data import dataset_astype
+    from mmvae_tpu.train import make_gather_epoch_runner
+
+    model = MnistMVAE(n_latents=8)
+    ds = load_dataset("mnist", n=64, seed=0)
+    ds_u8 = dataset_astype(ds, jnp.uint8)
+    # f32 twin: the same dequant formula, applied host-side. Fresh
+    # copies throughout -- the runner donates its array arguments, so
+    # the two runs must not share buffers.
+    arrays_f32 = {
+        k: (
+            v.astype(jnp.float32) / jnp.float32(255.0)
+            if v.dtype == jnp.uint8
+            else jnp.array(v)
+        )
+        for k, v in ds_u8.arrays.items()
+    }
+    steps, batch = 4, 16
+    runner = make_gather_epoch_runner(model, steps, batch)
+
+    def run(arrays):
+        init = {k: v[:batch] for k, v in arrays.items()}
+        state = create_train_state(
+            model, init, jax.random.key(0), 1e-3
+        )
+        out = []
+        for _ in range(2):  # two epochs: donated arrays persist uint8
+            state, arrays, ms = runner(state, arrays)
+            out.append(np.asarray(ms["loss"]))
+        assert jax.tree.leaves(arrays)[0].dtype == \
+            jax.tree.leaves(init)[0].dtype
+        return np.concatenate(out)
+
+    losses_u8 = run(dict(ds_u8.arrays))
+    losses_f32 = run(dict(arrays_f32))
+    np.testing.assert_allclose(losses_u8, losses_f32, rtol=1e-6)
+
+
+def test_uint8_eval_step_dequantizes():
+    """The eval path shares the multi_term_loss chokepoint: a uint8
+    batch must score identically to its dequantized f32 twin."""
+    from mmvae_tpu.data import dataset_astype
+
+    model, batch, state = _setup()
+    ds = load_dataset("mnist", n=64, seed=0)
+    u8 = dataset_astype(ds, jnp.uint8).arrays
+    f32 = {
+        k: (
+            v.astype(jnp.float32) / jnp.float32(255.0)
+            if v.dtype == jnp.uint8
+            else v
+        )
+        for k, v in u8.items()
+    }
+    ev = make_eval_step(model)
+    m_u8 = ev(state.params, u8)
+    m_f32 = ev(state.params, f32)
+    np.testing.assert_allclose(
+        float(m_u8["loss"]), float(m_f32["loss"]), rtol=1e-6
+    )
