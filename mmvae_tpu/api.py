@@ -249,6 +249,9 @@ def train(
         ),
         cycle_weight=getattr(config, "cycle_weight", 0.0),
         cycle_render_grad=getattr(config, "cycle_render_grad", False),
+        cycle_contrast_weight=getattr(
+            config, "cycle_contrast_weight", 0.0
+        ),
     )
     n_mesh_devices = 1 if mesh is None else int(mesh.devices.size)
     # The in-program shuffle+gather fast path composes with the DP mesh
@@ -366,6 +369,11 @@ def train(
             cycle_ces = (
                 np.asarray(ms["cycle_ce"]) if "cycle_ce" in ms else None
             )
+            cycle_contrasts = (
+                np.asarray(ms["cycle_contrast"])
+                if "cycle_contrast" in ms
+                else None
+            )
             base_step = int(state.step) - len(losses)
             for i in range(0, len(losses), li):
                 rec = {
@@ -383,6 +391,8 @@ def train(
                     rec["align_kl"] = align_kls[i]
                 if cycle_ces is not None:
                     rec["cycle_ce"] = cycle_ces[i]
+                if cycle_contrasts is not None:
+                    rec["cycle_contrast"] = cycle_contrasts[i]
                 writer.write(rec)
         meter = AverageMeter()
         meter.update(float(losses.mean()), len(losses) * config.batch_size)

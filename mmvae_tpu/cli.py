@@ -42,6 +42,7 @@ def _overrides(args, config):
         "unimodal_align_weight",
         "cycle_weight",
         "cycle_render_grad",
+        "cycle_contrast_weight",
     ):
         v = getattr(args, field, None)
         if v is not None:
@@ -146,6 +147,13 @@ def main(argv=None) -> int:
         action="store_true", default=None,
         help="let the cycle term's RENDER decode train the bernoulli "
         "decoders (re-encode and final seq decode stay stop-gradiented)",
+    )
+    pt.add_argument(
+        "--cycle-contrast-weight", dest="cycle_contrast_weight",
+        type=float,
+        help="per-example pixel mean+std matching between the cycle "
+        "render and the paired true image (decoder-side contrast "
+        "objective; requires --cycle-weight > 0)",
     )
     pt.add_argument(
         "--shuffle-granularity", dest="shuffle_granularity", type=int,

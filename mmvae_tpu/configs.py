@@ -55,6 +55,11 @@ class ExperimentConfig:
     # posterior -> render bernoulli modalities -> re-encode -> decode the
     # sequence back, CE vs the true sequence (decoders stop-gradiented;
     # trains encoders only -- train/step.py::multi_term_loss)
+    cycle_contrast_weight: float = 0.0  # per-example pixel-moment match
+    # (mean+std) between the cycle render and the paired true image --
+    # the decoder-side contrast objective for dim-but-readable renders
+    # (a uniform haze cannot match per-image std; stroke placement stays
+    # free, so no position-averaging gradient). Requires cycle_weight>0
     cycle_render_grad: bool = False  # relax the cycle stop-grad on the
     # RENDER decode only: bernoulli decoders receive the cycle gradient
     # (measured attack on the low-contrast text-conditioned renders;

@@ -162,6 +162,7 @@ def multi_term_loss(
     unimodal_align_weight: float = 0.0,
     cycle_weight: float = 0.0,
     cycle_render_grad: bool = False,
+    cycle_contrast_weight: float = 0.0,
     mesh=None,
     term_fold: str = "b",
 ):
@@ -191,6 +192,20 @@ def multi_term_loss(
     of the encoder-only cycle (BASELINE.md). The steganography risk
     returns partially; judge it by the re-read metric AND the pixel
     contrast of the conditioned decode.
+
+    ``cycle_contrast_weight`` > 0 (requires ``cycle_weight`` > 0) adds
+    a per-example MOMENT-MATCHING penalty on the cycle render: the
+    render's pixel mean and std (over the event dims) must match the
+    paired TRUE image's. This is the decoder-side attack on the
+    "machine-readable but low-contrast" render residual (BASELINE.md
+    MultiMNIST row: per-cell max pixel ~0.12): pixelwise BCE against
+    the true image is exactly the averaging gradient that caused the
+    haze, but matching per-image VARIANCE cannot be satisfied by a
+    uniform haze -- the render must put sharp strokes SOMEWHERE, while
+    stroke PLACEMENT stays free (the cycle CE owns content). The
+    gradient follows the render pass's stop-grad structure: it reaches
+    the bernoulli decoders iff ``cycle_render_grad``, and the seq
+    encoder through the conditioning z either way.
 
     ``unimodal_align_weight`` > 0 adds a posterior-distillation
     regularizer: ``w * beta * KL(q(z|S) || stop_grad(q(z|joint)))``
@@ -504,6 +519,7 @@ def multi_term_loss(
         presence2 = jnp.broadcast_to(ber_mask[None], (batch_size, n_mod))
         lambdas = model.lambdas()
         cycle_ce = 0.0
+        cycle_contrast = 0.0
         for s_i in seq_idx:
             term = 1 + s_i  # unimodal term of modality s (mask row)
             z_s = z[term] if term_fold == "t" else z[:, term]
@@ -512,6 +528,21 @@ def multi_term_loss(
             for m_i in ber_idx:
                 name = specs[m_i].name
                 re_batch[name] = jax.nn.sigmoid(rendered[name])
+                if cycle_contrast_weight > 0.0:
+                    # Per-example pixel-moment matching: render mean/std
+                    # must equal the paired true image's. A uniform haze
+                    # has near-zero std, so this term is what pixel BCE
+                    # cannot be -- a contrast objective with no
+                    # position-averaging gradient (docstring above).
+                    r = re_batch[name]
+                    x = data[name].astype(r.dtype)
+                    ax = tuple(range(1, r.ndim))
+                    dm = jnp.mean(r, axis=ax) - jnp.mean(x, axis=ax)
+                    dsd = jnp.std(r, axis=ax) - jnp.std(x, axis=ax)
+                    pen = dm * dm + dsd * dsd
+                    if presence is not None:
+                        pen = pen * presence[:, s_i]
+                    cycle_contrast = cycle_contrast + jnp.mean(pen)
             mu2, lv2 = model.apply(sg_vars, re_batch, method="encode")
             mu_f2, _ = product_of_experts(mu2, lv2, mask=presence2)
             # Deterministic re-read (z = posterior mean), matching the
@@ -526,6 +557,16 @@ def multi_term_loss(
             cycle_ce = cycle_ce + lambdas[s_i] * jnp.mean(ce)
         loss = loss + cycle_weight * cycle_ce
         metrics = dict(metrics, loss=loss, cycle_ce=cycle_ce)
+        if cycle_contrast_weight > 0.0:
+            loss = loss + cycle_contrast_weight * cycle_contrast
+            metrics = dict(
+                metrics, loss=loss, cycle_contrast=cycle_contrast
+            )
+    elif cycle_contrast_weight > 0.0:
+        raise ValueError(
+            "cycle_contrast_weight requires cycle_weight > 0 "
+            "(the penalty applies to the cycle term's render)"
+        )
     return loss, metrics
 
 
@@ -541,6 +582,7 @@ def make_train_step(
     unimodal_align_weight: float = 0.0,
     cycle_weight: float = 0.0,
     cycle_render_grad: bool = False,
+    cycle_contrast_weight: float = 0.0,
     out_state_shardings=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -569,6 +611,7 @@ def make_train_step(
         unimodal_align_weight=unimodal_align_weight,
         cycle_weight=cycle_weight,
         cycle_render_grad=cycle_render_grad,
+        cycle_contrast_weight=cycle_contrast_weight,
         mesh=_mesh_of(out_state_shardings),
         term_fold=term_fold,
     )
@@ -602,6 +645,7 @@ def _train_step_impl(
     unimodal_align_weight: float = 0.0,
     cycle_weight: float = 0.0,
     cycle_render_grad: bool = False,
+    cycle_contrast_weight: float = 0.0,
     mesh=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -634,10 +678,11 @@ def _train_step_impl(
                 sample=True,
                 cross_recon=cross_recon,
                 cross_recon_weight=cross_recon_weight,
-        cross_recon_stopgrad=cross_recon_stopgrad,
-        unimodal_align_weight=unimodal_align_weight,
-        cycle_weight=cycle_weight,
-        cycle_render_grad=cycle_render_grad,
+                cross_recon_stopgrad=cross_recon_stopgrad,
+                unimodal_align_weight=unimodal_align_weight,
+                cycle_weight=cycle_weight,
+                cycle_render_grad=cycle_render_grad,
+                cycle_contrast_weight=cycle_contrast_weight,
                 mesh=mesh,
                 term_fold=term_fold,
             )
@@ -666,6 +711,7 @@ def make_epoch_runner(
     unimodal_align_weight: float = 0.0,
     cycle_weight: float = 0.0,
     cycle_render_grad: bool = False,
+    cycle_contrast_weight: float = 0.0,
     out_state_shardings=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -691,6 +737,7 @@ def make_epoch_runner(
         unimodal_align_weight=unimodal_align_weight,
         cycle_weight=cycle_weight,
         cycle_render_grad=cycle_render_grad,
+        cycle_contrast_weight=cycle_contrast_weight,
         mesh=_mesh_of(out_state_shardings),
         term_fold=term_fold,
     )
@@ -725,6 +772,7 @@ def make_gather_epoch_runner(
     unimodal_align_weight: float = 0.0,
     cycle_weight: float = 0.0,
     cycle_render_grad: bool = False,
+    cycle_contrast_weight: float = 0.0,
     reshuffle_every: int = 1,
     n_shards: int = 1,
     shuffle_mode: str = "roll",
@@ -823,6 +871,7 @@ def make_gather_epoch_runner(
         unimodal_align_weight=unimodal_align_weight,
         cycle_weight=cycle_weight,
         cycle_render_grad=cycle_render_grad,
+        cycle_contrast_weight=cycle_contrast_weight,
         term_fold=term_fold,
         mesh=mesh if term_fold == "st" else None,
     )

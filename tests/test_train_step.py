@@ -864,3 +864,95 @@ def test_uint8_eval_step_dequantizes():
     np.testing.assert_allclose(
         float(m_u8["loss"]), float(m_f32["loss"]), rtol=1e-6
     )
+
+
+def test_cycle_contrast_weight_value_and_routing():
+    """cycle_contrast_weight: the loss delta is exactly w * the reported
+    cycle_contrast metric (linearity in w), the metric equals the
+    hand-computed per-example pixel mean/std mismatch of the render,
+    the gradient reaches the image decoder only under render_grad, and
+    the knob without a cycle term is an error."""
+    import pytest
+    from mmvae_tpu.train.step import multi_term_loss
+
+    model, batch, state = _setup_multimnist()
+    rng = jax.random.key(13)
+
+    def loss_metrics(cw, render_grad=False, fold="t"):
+        return multi_term_loss(
+            model, state.params, batch, rng, beta=0.7,
+            cycle_weight=1.0, cycle_render_grad=render_grad,
+            cycle_contrast_weight=cw, sample=False, term_fold=fold,
+        )
+
+    l0, m0 = loss_metrics(0.0)
+    l1, m1 = loss_metrics(1.0)
+    l3, m3 = loss_metrics(3.0)
+    pen = float(m1["cycle_contrast"])
+    assert pen > 0.0
+    # The deltas difference two ~1e3 f32 losses -- tolerance covers the
+    # cancellation, not the math.
+    np.testing.assert_allclose(float(l1) - float(l0), pen, rtol=5e-3)
+    np.testing.assert_allclose(
+        float(l3) - float(l0), 3.0 * pen, rtol=5e-3
+    )
+    # Hand-compute the penalty by replaying the render pass: text-only
+    # unimodal z (term 1+s, deterministic), decode, sigmoid, moments.
+    from mmvae_tpu.core import elbo_subset_masks, reparameterize
+    from mmvae_tpu.core.poe import product_of_experts
+
+    variables = {"params": state.params}
+    mu_e, lv_e = model.apply(variables, batch, method="encode")
+    masks = elbo_subset_masks(model.n_modalities)
+    specs = model.specs()
+    s_i = [i for i, s in enumerate(specs) if s.kind == "seq"][0]
+    row = masks[1 + s_i]
+    mu_f, lv_f = product_of_experts(
+        mu_e, lv_e, mask=jnp.broadcast_to(row, mu_e.shape[:1] + row.shape)
+    )
+    z_s = reparameterize(jax.random.key(0), mu_f, lv_f, sample=False)
+    rendered = model.apply(variables, z_s, batch, method="decode")
+    name = [s.name for s in specs if s.kind == "bernoulli"][0]
+    r = np.asarray(jax.nn.sigmoid(rendered[name]), np.float64)
+    x = np.asarray(batch[name], np.float64).reshape(r.shape)
+    ax = tuple(range(1, r.ndim))
+    dm = r.mean(axis=ax) - x.mean(axis=ax)
+    dsd = r.std(axis=ax) - x.std(axis=ax)
+    np.testing.assert_allclose(
+        pen, float(np.mean(dm * dm + dsd * dsd)), rtol=1e-4
+    )
+    # Fold invariance: the contrast term reads the unimodal z which is
+    # fold-layout-independent.
+    lb, _ = loss_metrics(1.0, fold="b")
+    np.testing.assert_allclose(float(l1), float(lb), rtol=1e-5)
+
+    # Gradient routing mirrors the render pass's stop-grad structure.
+    def grads(cw, render_grad):
+        def f(p):
+            return multi_term_loss(
+                model, p, batch, rng, beta=0.7,
+                cycle_weight=1.0, cycle_render_grad=render_grad,
+                cycle_contrast_weight=cw, sample=False,
+            )[0]
+
+        return jax.grad(f)(state.params)
+
+    def differs(a, b):
+        return any(
+            not np.allclose(np.asarray(x), np.asarray(y))
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+        )
+
+    g_off_sg, g_on_sg = grads(0.0, False), grads(4.0, False)
+    g_off_rg, g_on_rg = grads(0.0, True), grads(4.0, True)
+    assert not differs(g_on_sg["image_dec"], g_off_sg["image_dec"])
+    assert differs(g_on_rg["image_dec"], g_off_rg["image_dec"])
+    assert not differs(g_on_rg["text_dec"], g_off_rg["text_dec"])
+    # Encoders see the contrast gradient through the conditioning z.
+    assert differs(g_on_sg["text_enc"], g_off_sg["text_enc"])
+
+    with pytest.raises(ValueError, match="cycle_contrast_weight"):
+        multi_term_loss(
+            model, state.params, batch, rng, beta=0.7,
+            cycle_weight=0.0, cycle_contrast_weight=1.0, sample=False,
+        )
