@@ -465,21 +465,29 @@ def main() -> None:
         ref = measure_jax_celeba()
         metric = "celeba_mvae_train_samples_per_sec_per_chip"
         # CelebA is compute-bound at f32 (~84% MFU measured); bf16 +
-        # bf16-resident data is the best-achievable point.
+        # uint8-resident data is the best-achievable point. The uint8
+        # gain here is small but real (13853 vs 13790 bf16-resident,
+        # +0.45%, non-overlapping spreads): this point is bound by the
+        # term-tiled logits materialization + deconv weight copies, not
+        # the target reads (docs/DESIGN.md section 10).
         best = measure_jax_celeba(dtype="bfloat16", batch=256,
-                                  data_dtype="bfloat16")
+                                  data_dtype="uint8")
     else:
         baseline = cpu_baseline()
         # Reference-comparable point: f32, the reference batch size.
         ref = measure_jax()
-        # Best-achievable point: bf16 compute + bf16-resident data,
+        # Best-achievable point: bf16 compute + uint8-resident data,
         # large batch. With f32 data the bf16 step is dominated by the
         # stacked-batch HBM read (plateau 1.44-1.47M over batch
-        # 2048-8192); bf16 data doubles that bandwidth -> ~3.4M.
+        # 2048-8192); bf16 data doubles that bandwidth, uint8 data
+        # (exact for 8-bit-native images, in-program dequant) doubles
+        # it again -- measured 3.49M vs 3.17M bf16-resident (+9.9%,
+        # 33.5% bf16 MFU), ABOVE the 3.36M "pure reshape ceiling" that
+        # was itself bf16-read-bound (round 3; docs/DESIGN.md sec 10).
         # shuffle_mode="block": zero-copy between-reshuffle epochs
         # (measured +3.5% over roll: 3.11M vs 3.00M, round 3).
         best = measure_jax(dtype="bfloat16", batch=4096, steps=8,
-                           n_epochs=40, data_dtype="bfloat16",
+                           n_epochs=40, data_dtype="uint8",
                            reshuffle_every=8, shuffle_mode="block")
         metric = "mnist_mvae_train_samples_per_sec_per_chip"
     line = {
