@@ -113,12 +113,24 @@ def check_text_config(config, model, params, workdir: str, name: str) -> dict:
         np.asarray(img_out["image"])[:64],
         os.path.join(workdir, "text_conditioned.png"),
     )
+    # Visual-contrast numbers for the text-conditioned render (the
+    # BASELINE.md "machine-readable but dim" caveat, ~0.12 max pixel):
+    # per-example max pixel and pixel std, next to the TRUE images'
+    # values as the target band.
+    rimg = np.asarray(img_out["image"], np.float32)
+    timg = np.asarray(images[:256], np.float32)
+    rflat = rimg.reshape(rimg.shape[0], -1)
+    tflat = timg.reshape(timg.shape[0], -1)
     report = {
         "config": name,
         "image_to_text_exact_match": round(token_acc, 4),
         "image_to_text_per_token_accuracy": round(per_token, 4),
         "text_to_image_to_text_exact": round(rt_exact, 4),
         "text_to_image_to_text_per_token": round(rt_token, 4),
+        "render_max_pixel": round(float(rflat.max(1).mean()), 4),
+        "render_pixel_std": round(float(rflat.std(1).mean()), 4),
+        "true_max_pixel": round(float(tflat.max(1).mean()), 4),
+        "true_pixel_std": round(float(tflat.std(1).mean()), 4),
         "test_elbo": api.eval_elbo(config, model=model, params=params),
     }
     if name == "multimnist":
