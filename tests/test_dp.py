@@ -366,7 +366,11 @@ def test_st_fold_matches_b_fold_loss_and_grads(setup):
                 mesh=mesh_arg, sample=True,
             )[0]
 
-        loss, grads = jax.value_and_grad(f)(params)
+        # jit: one compiled program instead of hundreds of eager
+        # dispatches -- eager shard_map re-rendezvouses 8 one-core
+        # device threads per primitive, which flakily trips XLA:CPU's
+        # collective watchdog under suite load (process abort).
+        loss, grads = jax.jit(jax.value_and_grad(f))(params)
         return float(loss), grads
 
     lb, gb = loss_grads("b", None)
@@ -492,7 +496,8 @@ def test_st_fold_seq_model_matches_b_fold():
                 mesh=mesh_arg, sample=True, cross_recon=True,
             )[0]
 
-        loss, grads = jax.value_and_grad(f)(state.params)
+        # jit -- see test_st_fold_matches_b_fold_loss_and_grads.
+        loss, grads = jax.jit(jax.value_and_grad(f))(state.params)
         return float(loss), grads
 
     lb, gb = loss_grads("b", None)
@@ -529,7 +534,8 @@ def test_cycle_term_matches_b_fold_under_mesh():
                 cycle_weight=1.0, cycle_render_grad=True,
             )[0]
 
-        loss, grads = jax.value_and_grad(f)(state.params)
+        # jit -- see test_st_fold_matches_b_fold_loss_and_grads.
+        loss, grads = jax.jit(jax.value_and_grad(f))(state.params)
         return float(loss), grads
 
     lb, gb = loss_grads("b", None)
