@@ -130,3 +130,26 @@ def test_train_via_grain_bfloat16_data():
     np.testing.assert_allclose(
         rb16.best_test_elbo, r32.best_test_elbo, rtol=0.02
     )
+
+
+@pytest.mark.slow
+def test_train_via_grain_uint8_data():
+    """data_dtype='uint8' on the grain backend: float batches ship as
+    uint8 (quarter the f32 host->device bytes), dequantize in-program,
+    and the run lands within noise of the f32-data grain run."""
+    from mmvae_tpu import api
+    from mmvae_tpu.configs import get_config
+
+    base = get_config("mnist").replace(
+        n_latents=8, epochs=1, batch_size=32, train_size=128,
+        test_size=32, data_backend="grain",
+    )
+    r32 = api.train(base, None, use_mesh=False, verbose=False)
+    ru8 = api.train(
+        base.replace(data_dtype="uint8"), None, use_mesh=False,
+        verbose=False,
+    )
+    assert np.isfinite(ru8.best_test_elbo)
+    np.testing.assert_allclose(
+        ru8.best_test_elbo, r32.best_test_elbo, rtol=0.02
+    )
