@@ -512,9 +512,10 @@ def test_st_fold_seq_model_matches_b_fold():
 @pytest.mark.slow
 def test_cycle_term_matches_b_fold_under_mesh():
     """The cycle term (now the multimnist/cub DEFAULT) composes with the
-    mesh: st-vs-b loss/grad parity with cycle_weight>0 + render-grad.
-    The cycle path runs on the global (B, L) unimodal z outside the
-    shard_map'd decode+NLL pass, so it must be fold-invariant."""
+    mesh: st-vs-b loss/grad parity with cycle_weight>0 + render-grad +
+    the contrast penalty. The cycle path runs on the global (B, L)
+    unimodal z outside the shard_map'd decode+NLL pass, so it must be
+    fold-invariant."""
     from mmvae_tpu.data import load_dataset
     from mmvae_tpu.models import MultiMnistMVAE
     from mmvae_tpu.train import multi_term_loss
@@ -532,6 +533,7 @@ def test_cycle_term_matches_b_fold_under_mesh():
                 model, p, sharded, rng, beta=0.6, term_fold=fold,
                 mesh=mesh_arg, sample=True, cross_recon=True,
                 cycle_weight=1.0, cycle_render_grad=True,
+                cycle_contrast_weight=2.0,
             )[0]
 
         # jit -- see test_st_fold_matches_b_fold_loss_and_grads.
