@@ -124,19 +124,25 @@ def _grain_epoch(train_ds, config, model, seed: int, sharding=None):
         # Same bandwidth knob as the device backend: float modalities
         # ship and stream as bf16 (halves the host->device transfer AND
         # the per-step HBM batch read) or uint8 (quarter bytes, exact
-        # for 8-bit-native real data; dequantized in-program); int/token
-        # modalities untouched, eval data stays f32.
+        # for 8-bit-native real data; dequantized in-program -- one
+        # shared quantizer with the device path, data/pipelines.py).
+        # int/token modalities untouched, eval data stays f32. The
+        # presence mask is NOT data: the step consumes it raw (it is
+        # deliberately excluded from the in-program dequant), so a
+        # uint8 cast would feed 0/255 into every presence-weighted
+        # term -- skip it.
+        from mmvae_tpu.data.pipelines import quantize_uint8
+
         dt = _DATA_DTYPES[config.data_dtype]
-        if dt == jnp.uint8:
-            def cast(v):
-                return np.round(np.clip(v, 0.0, 1.0) * 255.0).astype(
-                    np.uint8
-                )
-        else:
-            def cast(v):
-                return v.astype(dt)
+        cast = quantize_uint8 if dt == jnp.uint8 else (
+            lambda v: v.astype(dt)
+        )
         stacked = {
-            k: (cast(v) if v.dtype == np.float32 else v)
+            k: (
+                cast(v)
+                if v.dtype == np.float32 and k != "presence"
+                else v
+            )
             for k, v in stacked.items()
         }
     if sharding is not None:

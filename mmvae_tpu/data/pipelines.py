@@ -155,14 +155,9 @@ def dataset_astype(dataset: "Dataset", dtype) -> "Dataset":
     in-program (``train/step.py::_dequant_data``) with a convert that
     fuses into the consuming encoder/NLL ops."""
     dtype = jnp.dtype(dtype)
-    if dtype == jnp.uint8:
-        def cast(v):
-            return jnp.round(jnp.clip(v, 0.0, 1.0) * 255.0).astype(
-                jnp.uint8
-            )
-    else:
-        def cast(v):
-            return v.astype(dtype)
+    cast = quantize_uint8 if dtype == jnp.uint8 else (
+        lambda v: v.astype(dtype)
+    )
     return Dataset(
         arrays={
             k: (cast(v) if v.dtype == jnp.float32 else v)
@@ -170,6 +165,22 @@ def dataset_astype(dataset: "Dataset", dtype) -> "Dataset":
         },
         size=dataset.size,
     )
+
+
+def quantize_uint8(v):
+    """``round(clip(x, 0, 1) * 255) -> uint8`` on numpy OR jax arrays.
+
+    The single quantizer both backends share (device-resident casts and
+    the grain path's host-side per-epoch cast) -- the two must stay
+    rounding-identical or the backends would train on different data.
+    CONTRACT: a uint8 array in a training batch MEANS "quantized [0, 1]
+    float data" -- the step dequantizes every uint8 leaf by /255
+    (``train/step.py::_dequant_data``), so integer token/label
+    modalities must stay int32 (they do, across ``synthetic.py`` and
+    ``formats.py``)."""
+    if isinstance(v, np.ndarray):
+        return np.round(np.clip(v, 0.0, 1.0) * 255.0).astype(np.uint8)
+    return jnp.round(jnp.clip(v, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
 
 def stacked_epoch(

@@ -119,7 +119,12 @@ def _dequant_data(data, dtype):
     encoder matmul / term-tiled NLL read, so the float pixels never
     materialize in HBM. ``dtype`` is the model's compute dtype -- the
     same dtype the bf16-resident path feeds, keeping downstream programs
-    identical."""
+    identical.
+
+    CONTRACT (see ``data/pipelines.py::quantize_uint8``): uint8 in a
+    batch MEANS quantized [0, 1] float data -- integer token/label
+    modalities are int32 everywhere in this family, and the presence
+    mask is stripped before this runs (it is consumed raw)."""
     return {
         k: (
             # Division, not multiply-by-reciprocal: 255/255 == 1.0

@@ -25,20 +25,28 @@ import os
 __all__ = ["cpu_cache_dir", "enable_cpu_cache"]
 
 
-def _cpu_fingerprint() -> str:
+def _cpu_fingerprint() -> str | None:
+    """Hash of the host CPU's feature flags, or None when undetectable
+    (x86 /proc/cpuinfo says ``flags``, aarch64 says ``Features``)."""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
+                if line.startswith(("flags", "Features")):
                     return hashlib.md5(line.encode()).hexdigest()[:10]
     except OSError:
         pass
-    return "unknown"
+    return None
 
 
-def cpu_cache_dir(base: str | None = None) -> str:
+def cpu_cache_dir(base: str | None = None) -> str | None:
     """Host-feature-keyed cache directory (under ``tests/`` by default,
-    matching the historical location the suite gitignores)."""
+    matching the historical location the suite gitignores) -- or None
+    when the host has no readable fingerprint: a shared un-keyed dir
+    would reintroduce the cross-host SIGILL hazard, so no fingerprint
+    means no persistent cache."""
+    fp = _cpu_fingerprint()
+    if fp is None:
+        return None
     if base is None:
         base = os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(
@@ -46,11 +54,12 @@ def cpu_cache_dir(base: str | None = None) -> str:
             ))),
             "tests",
         )
-    return os.path.join(base, f".xla_cache-{_cpu_fingerprint()}")
+    return os.path.join(base, f".xla_cache-{fp}")
 
 
-def enable_cpu_cache(base: str | None = None) -> str:
-    """Point jax's persistent compilation cache at the host-keyed dir.
+def enable_cpu_cache(base: str | None = None) -> str | None:
+    """Point jax's persistent compilation cache at the host-keyed dir
+    (a no-op returning None on hosts with no readable CPU fingerprint).
 
     Caller responsibility: only call when the backend is (or will be)
     CPU -- never with the axon relay live (see module docstring).
@@ -58,6 +67,8 @@ def enable_cpu_cache(base: str | None = None) -> str:
     import jax
 
     path = cpu_cache_dir(base)
+    if path is None:
+        return None
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -153,3 +153,29 @@ def test_train_via_grain_uint8_data():
     np.testing.assert_allclose(
         ru8.best_test_elbo, r32.best_test_elbo, rtol=0.02
     )
+
+
+def test_grain_uint8_cast_skips_presence_mask():
+    """Regression: the grain path's uint8 cast must NOT quantize the
+    float presence mask -- the step consumes presence RAW (it is
+    excluded from the in-program dequant), so a 0/255-uint8 presence
+    would scale every presence-weighted term (PoE precisions, NLL
+    masking, cycle terms) by 255 silently."""
+    from mmvae_tpu import api
+    from mmvae_tpu.configs import get_config
+    from mmvae_tpu.data import load_dataset
+    from mmvae_tpu.models import MnistMVAE
+
+    cfg = get_config("mnist").replace(
+        n_latents=8, batch_size=16, train_size=64,
+        data_backend="grain", data_dtype="uint8", p_modality_drop=0.5,
+    )
+    ds = load_dataset("mnist", "train", n=64, device_put=False)
+    model = MnistMVAE(n_latents=8)
+    stacked = api._grain_epoch(ds, cfg, model, seed=7)
+    assert "presence" in stacked
+    pres = np.asarray(stacked["presence"])
+    assert pres.dtype == np.float32
+    assert set(np.unique(pres)) <= {0.0, 1.0}
+    # The image modality DID quantize.
+    assert np.asarray(stacked["image"]).dtype == np.uint8

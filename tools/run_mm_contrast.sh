@@ -9,7 +9,7 @@ cd "$(dirname "$0")/.."
 RUNS=${RUNS:-/tmp/mm_cc}
 mkdir -p "$RUNS"
 
-for name in mm_cc1 mm_cc10 mm_cc100; do
+for name in mm_cc1 mm_cc10 mm_cc100 mm_cc1000; do
   if [ ! -f "$RUNS/$name/quality.json" ]; then
     python -m mmvae_tpu.cli train --config multimnist \
       --workdir "$RUNS/$name" --config-file "tools/$name.json"
