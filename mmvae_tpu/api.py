@@ -258,6 +258,9 @@ def train(
         cycle_contrast_weight=getattr(
             config, "cycle_contrast_weight", 0.0
         ),
+        cycle_render_binarize=getattr(
+            config, "cycle_render_binarize", False
+        ),
     )
     n_mesh_devices = 1 if mesh is None else int(mesh.devices.size)
     # The in-program shuffle+gather fast path composes with the DP mesh

@@ -43,6 +43,7 @@ def _overrides(args, config):
         "cycle_weight",
         "cycle_render_grad",
         "cycle_contrast_weight",
+        "cycle_render_binarize",
     ):
         v = getattr(args, field, None)
         if v is not None:
@@ -147,6 +148,13 @@ def main(argv=None) -> int:
         action="store_true", default=None,
         help="let the cycle term's RENDER decode train the bernoulli "
         "decoders (re-encode and final seq decode stay stop-gradiented)",
+    )
+    pt.add_argument(
+        "--cycle-render-binarize", dest="cycle_render_binarize",
+        action="store_true", default=None,
+        help="hard-threshold the cycle render at 0.5 (straight-through)"
+        " before the re-encode: information must survive binarization,"
+        " forcing above-threshold strokes (requires --cycle-weight > 0)",
     )
     pt.add_argument(
         "--cycle-contrast-weight", dest="cycle_contrast_weight",

@@ -168,6 +168,7 @@ def multi_term_loss(
     cycle_weight: float = 0.0,
     cycle_render_grad: bool = False,
     cycle_contrast_weight: float = 0.0,
+    cycle_render_binarize: bool = False,
     mesh=None,
     term_fold: str = "b",
 ):
@@ -197,6 +198,16 @@ def multi_term_loss(
     of the encoder-only cycle (BASELINE.md). The steganography risk
     returns partially; judge it by the re-read metric AND the pixel
     contrast of the conditioned decode.
+
+    ``cycle_render_binarize`` (requires ``cycle_weight`` > 0)
+    hard-thresholds the cycle render at 0.5 (straight-through
+    estimator) before the re-encode: the re-encoder sees ONLY 0/1
+    pixels, so the cycle's information channel cannot live in faint
+    sub-threshold pixel variations -- wherever the round trip carries
+    information, the render must place real above-threshold strokes.
+    A structural attack on the dim-render residual, complementary to
+    the moment-matching penalty below (which turned out too weak at
+    sane weights, BASELINE.md ablation).
 
     ``cycle_contrast_weight`` > 0 (requires ``cycle_weight`` > 0) adds
     a per-example MOMENT-MATCHING penalty on the cycle render: the
@@ -532,14 +543,30 @@ def multi_term_loss(
             re_batch = dict(data)
             for m_i in ber_idx:
                 name = specs[m_i].name
-                re_batch[name] = jax.nn.sigmoid(rendered[name])
+                soft = jax.nn.sigmoid(rendered[name])
+                re_batch[name] = soft
+                if cycle_render_binarize:
+                    # Straight-through hard threshold: the re-encoder
+                    # sees ONLY 0/1 pixels, so the cycle's information
+                    # channel cannot live in faint sub-threshold
+                    # variations (the measured "machine-readable but
+                    # dim" residual, BASELINE.md) -- to survive the
+                    # loop the render must place real strokes above
+                    # 0.5. Backward: identity (STE), so the CE
+                    # gradient still reaches the render/encoders.
+                    hard = (soft > 0.5).astype(soft.dtype)
+                    re_batch[name] = soft + jax.lax.stop_gradient(
+                        hard - soft
+                    )
                 if cycle_contrast_weight > 0.0:
                     # Per-example pixel-moment matching: render mean/std
                     # must equal the paired true image's. A uniform haze
                     # has near-zero std, so this term is what pixel BCE
                     # cannot be -- a contrast objective with no
                     # position-averaging gradient (docstring above).
-                    r = re_batch[name]
+                    # Always on the SOFT render (moments of the
+                    # binarized form measure a different thing).
+                    r = soft
                     x = data[name].astype(r.dtype)
                     ax = tuple(range(1, r.ndim))
                     dm = jnp.mean(r, axis=ax) - jnp.mean(x, axis=ax)
@@ -588,6 +615,7 @@ def make_train_step(
     cycle_weight: float = 0.0,
     cycle_render_grad: bool = False,
     cycle_contrast_weight: float = 0.0,
+    cycle_render_binarize: bool = False,
     out_state_shardings=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -617,6 +645,7 @@ def make_train_step(
         cycle_weight=cycle_weight,
         cycle_render_grad=cycle_render_grad,
         cycle_contrast_weight=cycle_contrast_weight,
+        cycle_render_binarize=cycle_render_binarize,
         mesh=_mesh_of(out_state_shardings),
         term_fold=term_fold,
     )
@@ -651,6 +680,7 @@ def _train_step_impl(
     cycle_weight: float = 0.0,
     cycle_render_grad: bool = False,
     cycle_contrast_weight: float = 0.0,
+    cycle_render_binarize: bool = False,
     mesh=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -688,6 +718,7 @@ def _train_step_impl(
                 cycle_weight=cycle_weight,
                 cycle_render_grad=cycle_render_grad,
                 cycle_contrast_weight=cycle_contrast_weight,
+        cycle_render_binarize=cycle_render_binarize,
                 mesh=mesh,
                 term_fold=term_fold,
             )
@@ -717,6 +748,7 @@ def make_epoch_runner(
     cycle_weight: float = 0.0,
     cycle_render_grad: bool = False,
     cycle_contrast_weight: float = 0.0,
+    cycle_render_binarize: bool = False,
     out_state_shardings=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -743,6 +775,7 @@ def make_epoch_runner(
         cycle_weight=cycle_weight,
         cycle_render_grad=cycle_render_grad,
         cycle_contrast_weight=cycle_contrast_weight,
+        cycle_render_binarize=cycle_render_binarize,
         mesh=_mesh_of(out_state_shardings),
         term_fold=term_fold,
     )
@@ -778,6 +811,7 @@ def make_gather_epoch_runner(
     cycle_weight: float = 0.0,
     cycle_render_grad: bool = False,
     cycle_contrast_weight: float = 0.0,
+    cycle_render_binarize: bool = False,
     reshuffle_every: int = 1,
     n_shards: int = 1,
     shuffle_mode: str = "roll",
@@ -877,6 +911,7 @@ def make_gather_epoch_runner(
         cycle_weight=cycle_weight,
         cycle_render_grad=cycle_render_grad,
         cycle_contrast_weight=cycle_contrast_weight,
+        cycle_render_binarize=cycle_render_binarize,
         term_fold=term_fold,
         mesh=mesh if term_fold == "st" else None,
     )

@@ -956,3 +956,76 @@ def test_cycle_contrast_weight_value_and_routing():
             model, state.params, batch, rng, beta=0.7,
             cycle_weight=0.0, cycle_contrast_weight=1.0, sample=False,
         )
+
+
+def test_cycle_render_binarize_semantics_and_routing():
+    """cycle_render_binarize: the re-encode must see the STE-hard 0/1
+    render -- the loss delta vs the soft cycle equals a manual replay
+    of the cycle CE with thresholded pixels, the STE keeps encoder
+    gradients flowing, and decoders stay stop-gradiented."""
+    from mmvae_tpu.core import elbo_subset_masks, reparameterize
+    from mmvae_tpu.core.poe import product_of_experts
+    from mmvae_tpu.train.step import multi_term_loss
+
+    model, batch, state = _setup_multimnist()
+    rng = jax.random.key(19)
+
+    def loss(p, binarize):
+        return multi_term_loss(
+            model, p, batch, rng, beta=0.7, cycle_weight=1.0,
+            cycle_render_binarize=binarize, sample=False,
+        )[0]
+
+    l_off = float(loss(state.params, False))
+    l_on = float(loss(state.params, True))
+    assert l_on != l_off
+
+    # Manual replay of the cycle CE with soft vs hard renders.
+    variables = {"params": state.params}
+    specs = model.specs()
+    s_i = [i for i, s in enumerate(specs) if s.kind == "seq"][0]
+    b_name = [s.name for s in specs if s.kind == "bernoulli"][0]
+    mu_e, lv_e = model.apply(variables, batch, method="encode")
+    masks = elbo_subset_masks(model.n_modalities)
+    row = masks[1 + s_i]
+    mu_f, lv_f = product_of_experts(
+        mu_e, lv_e, mask=jnp.broadcast_to(row, mu_e.shape[:1] + row.shape)
+    )
+    z_s = reparameterize(jax.random.key(0), mu_f, lv_f, sample=False)
+    rendered = model.apply(variables, z_s, batch, method="decode")
+    soft = jax.nn.sigmoid(rendered[b_name])
+
+    def cycle_ce(render_pixels):
+        re_batch = dict(batch)
+        re_batch[b_name] = render_pixels
+        mu2, lv2 = model.apply(variables, re_batch, method="encode")
+        pres = jnp.zeros((model.n_modalities,)).at[
+            jnp.asarray([i for i, s in enumerate(specs)
+                         if s.kind == "bernoulli"])
+        ].set(1.0)
+        pres = jnp.broadcast_to(pres[None], mu2.shape[:1] + pres.shape)
+        mu_f2, _ = product_of_experts(mu2, lv2, mask=pres)
+        recons2 = model.apply(variables, mu_f2, batch, method="decode")
+        nll2 = model.apply(variables, recons2, batch, method="nll_all")
+        lam = model.lambdas()[s_i]
+        return float(lam * jnp.mean(nll2[s_i]))
+
+    delta_manual = cycle_ce((soft > 0.5).astype(soft.dtype)) - cycle_ce(soft)
+    np.testing.assert_allclose(l_on - l_off, delta_manual, rtol=5e-3)
+
+    def differs(a, b):
+        return any(
+            not np.allclose(np.asarray(x), np.asarray(y))
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+        )
+
+    g_on = jax.grad(lambda p: loss(p, True))(state.params)
+    g_off = jax.grad(lambda p: loss(p, False))(state.params)
+    # STE keeps the encoder gradient path alive (and different).
+    assert differs(g_on["text_enc"], g_off["text_enc"])
+    assert differs(g_on["image_enc"], g_off["image_enc"])
+    # Decoders stay stop-gradiented on the cycle path (no render_grad).
+    for a, b in zip(
+        jax.tree.leaves(g_on["text_dec"]), jax.tree.leaves(g_off["text_dec"])
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
