@@ -109,6 +109,22 @@ def check_text_config(config, model, params, workdir: str, name: str) -> dict:
         (np.where(rt_mask, rt == texts[:256], True)).all(axis=1).mean()
     )
     rt_token = float((rt[rt_mask] == texts[:256][rt_mask]).mean())
+    rt_thresh = None
+    if getattr(config, "cycle_render_binarize", False):
+        # The binarized cycle trains the channel on HARD 0/1 renders --
+        # consume the render in its trained form too (threshold at 0.5)
+        # and report that round trip alongside the soft one (the
+        # measured gap between them is the whole story of this knob).
+        hard = (np.asarray(img_out["image"]) > 0.5).astype(np.float32)
+        back_h = api.generate(
+            config, {"image": hard}, model=model, params=params,
+            temperature=0.0,
+        )
+        rt_h = np.asarray(back_h["text"])
+        rt_thresh = float(
+            (np.where(rt_mask, rt_h == texts[:256], True))
+            .all(axis=1).mean()
+        )
     save_image_grid(
         np.asarray(img_out["image"])[:64],
         os.path.join(workdir, "text_conditioned.png"),
@@ -133,6 +149,10 @@ def check_text_config(config, model, params, workdir: str, name: str) -> dict:
         "true_pixel_std": round(float(tflat.std(1).mean()), 4),
         "test_elbo": api.eval_elbo(config, model=model, params=params),
     }
+    if rt_thresh is not None:
+        report["text_to_image_to_text_exact_thresholded"] = round(
+            rt_thresh, 4
+        )
     if name == "multimnist":
         # Position-invariant (sorted-multiset) variants: MultiMNIST
         # digit ORDER is claimed ambiguous from the rendered image
