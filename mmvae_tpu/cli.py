@@ -151,10 +151,14 @@ def main(argv=None) -> int:
     )
     pt.add_argument(
         "--cycle-render-binarize", dest="cycle_render_binarize",
-        action="store_true", default=None,
+        nargs="?", const=True, default=None,
+        type=lambda s: True if s == "true" else s,
+        choices=[True, "both"],
         help="hard-threshold the cycle render at 0.5 (straight-through)"
         " before the re-encode: information must survive binarization,"
-        " forcing above-threshold strokes (requires --cycle-weight > 0)",
+        " forcing above-threshold strokes (requires --cycle-weight > 0)."
+        " Bare flag = hard form only; 'both' additionally keeps the"
+        " soft-form cycle CE (channel reads back from either form)",
     )
     pt.add_argument(
         "--cycle-contrast-weight", dest="cycle_contrast_weight",

@@ -55,11 +55,13 @@ class ExperimentConfig:
     # posterior -> render bernoulli modalities -> re-encode -> decode the
     # sequence back, CE vs the true sequence (decoders stop-gradiented;
     # trains encoders only -- train/step.py::multi_term_loss)
-    cycle_render_binarize: bool = False  # hard-threshold the cycle
-    # render at 0.5 (straight-through) before the re-encode: the info
-    # channel must survive binarization, forcing above-threshold
+    cycle_render_binarize: bool | str = False  # hard-threshold the
+    # cycle render at 0.5 (straight-through) before the re-encode: the
+    # info channel must survive binarization, forcing above-threshold
     # strokes wherever the round trip carries content (structural
-    # attack on the dim-render residual; train/step.py)
+    # attack on the dim-render residual; train/step.py). True = hard
+    # form only; "both" = cycle CE averaged over soft AND hard forms
+    # (the channel must read back from either consumption form)
     cycle_contrast_weight: float = 0.0  # per-example pixel-moment match
     # (mean+std) between the cycle render and the paired true image --
     # the decoder-side contrast objective for dim-but-readable renders

@@ -207,7 +207,11 @@ def multi_term_loss(
     information, the render must place real above-threshold strokes.
     A structural attack on the dim-render residual, complementary to
     the moment-matching penalty below (which turned out too weak at
-    sane weights, BASELINE.md ablation).
+    sane weights, BASELINE.md ablation). ``True`` trains the channel
+    on the hard form only (measured: sharp strokes, 94.9% round trip
+    -- but only when the render is CONSUMED thresholded; the soft form
+    drops to ~6%). ``"both"`` averages the cycle CE over the soft AND
+    hard forms, so the channel must read back from either.
 
     ``cycle_contrast_weight`` > 0 (requires ``cycle_weight`` > 0) adds
     a per-example MOMENT-MATCHING penalty on the cycle render: the
@@ -508,6 +512,11 @@ def multi_term_loss(
             raise ValueError(
                 "cycle_weight needs a seq and a bernoulli modality"
             )
+        if cycle_render_binarize not in (False, True, "both"):
+            raise ValueError(
+                "cycle_render_binarize must be False, True, or 'both'; "
+                f"got {cycle_render_binarize!r}"
+            )
         sg_vars = {"params": _sg_decoder_params(params)}
         if cycle_render_grad:
             # The RENDER decode keeps live bernoulli-decoder params (the
@@ -541,21 +550,28 @@ def multi_term_loss(
             z_s = z[term] if term_fold == "t" else z[:, term]
             rendered = model.apply(render_vars, z_s, data, method="decode")
             re_batch = dict(data)
+            re_batch_hard = None
             for m_i in ber_idx:
                 name = specs[m_i].name
                 soft = jax.nn.sigmoid(rendered[name])
                 re_batch[name] = soft
                 if cycle_render_binarize:
                     # Straight-through hard threshold: the re-encoder
-                    # sees ONLY 0/1 pixels, so the cycle's information
+                    # sees 0/1 pixels, so the cycle's information
                     # channel cannot live in faint sub-threshold
                     # variations (the measured "machine-readable but
                     # dim" residual, BASELINE.md) -- to survive the
                     # loop the render must place real strokes above
                     # 0.5. Backward: identity (STE), so the CE
                     # gradient still reaches the render/encoders.
+                    # True: the hard form REPLACES the soft one;
+                    # "both": the cycle CE averages the two forms, so
+                    # the channel must read back from either (sharp
+                    # strokes AND soft-consumption robustness).
                     hard = (soft > 0.5).astype(soft.dtype)
-                    re_batch[name] = soft + jax.lax.stop_gradient(
+                    if re_batch_hard is None:
+                        re_batch_hard = dict(data)
+                    re_batch_hard[name] = soft + jax.lax.stop_gradient(
                         hard - soft
                     )
                 if cycle_contrast_weight > 0.0:
@@ -575,15 +591,25 @@ def multi_term_loss(
                     if presence is not None:
                         pen = pen * presence[:, s_i]
                     cycle_contrast = cycle_contrast + jnp.mean(pen)
-            mu2, lv2 = model.apply(sg_vars, re_batch, method="encode")
-            mu_f2, _ = product_of_experts(mu2, lv2, mask=presence2)
-            # Deterministic re-read (z = posterior mean), matching the
-            # greedy re-read the round-trip metric performs.
-            recons2 = model.apply(sg_vars, mu_f2, data, method="decode")
-            nll2 = model.apply(
-                sg_vars, recons2, data, method="nll_all"
-            )  # (M, B)
-            ce = nll2[s_i]
+            def re_read_ce(rb):
+                mu2, lv2 = model.apply(sg_vars, rb, method="encode")
+                mu_f2, _ = product_of_experts(mu2, lv2, mask=presence2)
+                # Deterministic re-read (z = posterior mean), matching
+                # the greedy re-read the round-trip metric performs.
+                recons2 = model.apply(
+                    sg_vars, mu_f2, data, method="decode"
+                )
+                nll2 = model.apply(
+                    sg_vars, recons2, data, method="nll_all"
+                )  # (M, B)
+                return nll2[s_i]
+
+            if cycle_render_binarize == "both":
+                ce = 0.5 * (re_read_ce(re_batch) + re_read_ce(re_batch_hard))
+            elif cycle_render_binarize:
+                ce = re_read_ce(re_batch_hard)
+            else:
+                ce = re_read_ce(re_batch)
             if presence is not None:
                 ce = ce * presence[:, s_i]
             cycle_ce = cycle_ce + lambdas[s_i] * jnp.mean(ce)

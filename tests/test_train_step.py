@@ -979,6 +979,13 @@ def test_cycle_render_binarize_semantics_and_routing():
     l_off = float(loss(state.params, False))
     l_on = float(loss(state.params, True))
     assert l_on != l_off
+    # "both" averages the soft- and hard-form cycle CE exactly.
+    l_both = float(loss(state.params, "both"))
+    np.testing.assert_allclose(l_both, 0.5 * (l_on + l_off), rtol=1e-5)
+    import pytest
+
+    with pytest.raises(ValueError, match="cycle_render_binarize"):
+        loss(state.params, "weird")
 
     # Manual replay of the cycle CE with soft vs hard renders.
     variables = {"params": state.params}
