@@ -61,7 +61,7 @@ def _overrides(args, config):
     return config
 
 
-def main(argv=None) -> int:
+def _build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="mmvae-tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
@@ -262,6 +262,11 @@ def main(argv=None) -> int:
         help="comma-separated lowering platforms (default cpu,tpu)",
     )
 
+    return parser
+
+
+def main(argv=None) -> int:
+    parser = _build_parser()
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp

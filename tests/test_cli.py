@@ -174,3 +174,22 @@ def test_perf_flags_reach_config(tmp_path):
     assert saved["ema_decay"] == 0.9
     assert saved["cross_recon"] is True
     assert saved["cross_recon_stopgrad"] is True
+
+
+def test_cycle_render_binarize_flag_forms(tmp_path):
+    """--cycle-render-binarize parses all three forms: absent (config
+    default), bare flag (True), and 'both' (dual-form cycle CE)."""
+    from mmvae_tpu.cli import _build_parser
+
+    parser = _build_parser()
+    a0 = parser.parse_args(["train", "--config", "multimnist"])
+    assert a0.cycle_render_binarize is None
+    a1 = parser.parse_args(
+        ["train", "--config", "multimnist", "--cycle-render-binarize"]
+    )
+    assert a1.cycle_render_binarize is True
+    a2 = parser.parse_args(
+        ["train", "--config", "multimnist",
+         "--cycle-render-binarize", "both"]
+    )
+    assert a2.cycle_render_binarize == "both"
