@@ -175,7 +175,11 @@ def train(
     but as one jitted multi-term step over a data-parallel mesh.
     """
     config = _resolve(config)
-    if workdir is not None:
+    # Multi-host: every process runs the identical loop over the global
+    # mesh (deterministic data + seeds keep them in lockstep); exactly
+    # one process owns host-side writes (parallel/multihost.py).
+    primary = jax.process_index() == 0
+    if workdir is not None and primary:
         _save_run_config(workdir, config)
     model = build_model(config, dtype=dtype)
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
@@ -333,7 +337,11 @@ def train(
             mesh, P(None, tuple(mesh.axis_names))
         )
 
-    writer = MetricsWriter(workdir) if workdir is not None else None
+    writer = (
+        MetricsWriter(workdir)
+        if workdir is not None and primary
+        else None
+    )
     np_rng = np.random.default_rng(seed)
     # Pad + stack the eval split ONCE for the whole run (round-2 weak
     # #7: re-padding/gathering it per epoch is one full-split jnp.take
@@ -405,7 +413,17 @@ def train(
                 writer.write(rec)
         meter = AverageMeter()
         meter.update(float(losses.mean()), len(losses) * config.batch_size)
-        test_elbo = evaluate(state.eval_params)
+        eval_params = state.eval_params
+        if jax.process_count() > 1:
+            # The padded split evaluator is a process-LOCAL program
+            # (identical on every process); mesh-trained params are
+            # global arrays, so pull the replicated copies local first
+            # (zero cross-host traffic -- replicated means every host
+            # already holds them).
+            from mmvae_tpu.parallel import fetch_replicated
+
+            eval_params = fetch_replicated(eval_params)
+        test_elbo = evaluate(eval_params)
         is_best = test_elbo < best
         best = min(best, test_elbo)
         record = {
@@ -416,7 +434,7 @@ def train(
         history.append(record)
         if writer:
             writer.write({"kind": "eval", **record})
-        if verbose:
+        if verbose and primary:
             print(
                 f"[{config.name}] epoch {epoch:3d} "
                 f"train {meter.avg:10.2f} test {test_elbo:10.2f}"

@@ -28,6 +28,13 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         "--dtype", default="float32", choices=["float32", "bfloat16"],
         help="compute dtype for the experts (params stay float32)",
     )
+    p.add_argument(
+        "--multihost", action="store_true",
+        help="initialize jax.distributed before any device use "
+        "(multi-host pod slices; autodetects on TPU, or set "
+        "MMVAE_COORDINATOR / MMVAE_NUM_PROCESSES / MMVAE_PROCESS_ID "
+        "on CPU/GPU harnesses -- parallel/multihost.py)",
+    )
 
 
 def _overrides(args, config):
@@ -269,6 +276,13 @@ def main(argv=None) -> int:
     parser = _build_parser()
     args = parser.parse_args(argv)
 
+    if getattr(args, "multihost", False):
+        # Must run before any other JAX use (backends bind at first
+        # device enumeration).
+        from mmvae_tpu.parallel.multihost import initialize
+
+        initialize()
+
     import jax.numpy as jnp
 
     from mmvae_tpu import api
@@ -305,7 +319,10 @@ def main(argv=None) -> int:
             use_mesh=not args.no_mesh,
             resume=args.resume,
         )
-        print(json.dumps({"best_test_elbo": result.best_test_elbo}))
+        import jax
+
+        if jax.process_index() == 0:  # one JSON line per RUN, not host
+            print(json.dumps({"best_test_elbo": result.best_test_elbo}))
         return 0
 
     if args.cmd == "eval":

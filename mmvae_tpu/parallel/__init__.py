@@ -19,6 +19,11 @@ from mmvae_tpu.parallel.fsdp import (
     fsdp_shard,
     state_shardings,
 )
+from mmvae_tpu.parallel.multihost import (
+    initialize as multihost_initialize,
+    is_primary,
+    fetch_replicated,
+)
 
 __all__ = [
     "make_mesh",
@@ -29,4 +34,7 @@ __all__ = [
     "fsdp_sharding",
     "fsdp_shard",
     "state_shardings",
+    "multihost_initialize",
+    "is_primary",
+    "fetch_replicated",
 ]

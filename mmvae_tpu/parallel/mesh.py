@@ -61,6 +61,28 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put(x, sh: NamedSharding):
+    """``jax.device_put`` that stays valid on a MULTI-HOST mesh.
+
+    A global sharding (mesh spanning other hosts' devices) accepts host
+    data -- every process holds the full (identical) value and commits
+    only its addressable shards -- but NOT a process-local committed
+    jax array, so stage through numpy when the process group is
+    multi-host. Typed PRNG keys can't cross numpy directly: stage their
+    raw key data and rewrap. Single-process keeps the zero-copy path.
+    """
+    if jax.process_count() <= 1:
+        return jax.device_put(x, sh)
+    import jax.numpy as jnp
+
+    if isinstance(x, jax.Array) and jnp.issubdtype(
+        x.dtype, jax.dtypes.prng_key
+    ):
+        data = jax.device_put(np.asarray(jax.random.key_data(x)), sh)
+        return jax.random.wrap_key_data(data, impl=jax.random.key_impl(x))
+    return jax.device_put(np.asarray(x), sh)
+
+
 def shard_batch(batch: dict[str, Any], mesh: Mesh) -> dict[str, Any]:
     """Place a batch dict with its leading axis sharded over the mesh.
 
@@ -68,10 +90,10 @@ def shard_batch(batch: dict[str, Any], mesh: Mesh) -> dict[str, Any]:
     guarantees this by construction).
     """
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(lambda x: _put(x, sh), batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
     """Fully replicate a PyTree (params / TrainState) over the mesh."""
     sh = replicated_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree.map(lambda x: _put(x, sh), tree)

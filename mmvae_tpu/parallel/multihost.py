@@ -1,0 +1,111 @@
+"""Multi-host (multi-process) training support.
+
+The reference is single-process (SURVEY.md §2 parallelism statement);
+the rebuild's mandated DP axis ([B:5]) must also span REAL pod slices,
+which are multi-host: a v5e-16+ slice presents each host only its local
+chips, and JAX composes them into one global device set via
+``jax.distributed``. This module is the thin, testable seam between
+that runtime and the rest of the framework:
+
+* :func:`initialize` — process-group bring-up. No-arg on real pods
+  (TPU metadata autodetects coordinator/topology); explicit or
+  env-driven (``MMVAE_COORDINATOR`` / ``MMVAE_NUM_PROCESSES`` /
+  ``MMVAE_PROCESS_ID``) for CPU harnesses and tests.
+* :func:`is_primary` — gate for host-side writes (metrics, config
+  snapshots, checkpoint sidecars): exactly one process writes.
+* :func:`fetch_replicated` — pull a fully-replicated global PyTree to
+  process-local arrays so process-local programs (the padded split
+  evaluator, sampling) can consume mesh-trained params.
+* :func:`sync` — named barrier (checkpoint pruning, shutdown).
+
+Everything else in the framework is already multi-host-clean by
+construction: the mesh helpers (``parallel/mesh.py``) build from
+``jax.devices()`` which is GLOBAL under ``jax.distributed``; GSPMD
+turns the same sharding annotations into cross-host collectives
+(Gloo on CPU harnesses, ICI/DCN on pods); and the synthetic data layer
+is seed-deterministic, so every process materializes the identical
+dataset and ``jax.device_put(full_host_array, batch_sharding(mesh))``
+commits only each process's addressable shards (verified by the
+2-process CPU parity test, tests/test_multihost.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+__all__ = [
+    "initialize",
+    "is_primary",
+    "process_count",
+    "fetch_replicated",
+    "sync",
+]
+
+
+def initialize(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Bring up the JAX process group (idempotent).
+
+    On a real multi-host TPU slice call with no arguments BEFORE any
+    other JAX use: the TPU runtime autodetects the coordinator and
+    topology. On CPU/GPU harnesses pass the trio explicitly or via the
+    ``MMVAE_COORDINATOR`` / ``MMVAE_NUM_PROCESSES`` /
+    ``MMVAE_PROCESS_ID`` environment variables (the CLI's
+    ``--multihost`` flag routes here).
+    """
+    try:  # private probe; jax.distributed.initialize raises if repeated
+        already = jax._src.distributed.global_state.client is not None
+    except AttributeError:  # layout moved across jax versions
+        already = False
+    if already:
+        return  # idempotent for notebook reruns
+    coordinator_address = coordinator_address or os.environ.get(
+        "MMVAE_COORDINATOR"
+    )
+    if num_processes is None and "MMVAE_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["MMVAE_NUM_PROCESSES"])
+    if process_id is None and "MMVAE_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["MMVAE_PROCESS_ID"])
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def is_primary() -> bool:
+    """True on exactly one process (the host-side writer)."""
+    return jax.process_index() == 0
+
+
+def fetch_replicated(tree: Any) -> Any:
+    """Fully-replicated global PyTree -> process-local jnp arrays.
+
+    Mesh-trained params are global arrays spanning every host; a
+    process-local program (the padded split evaluator, the sampling
+    decoders) cannot consume them directly. Replicated means every
+    process holds complete copies, so the fetch is a local HBM->host
+    read with zero cross-host traffic.
+    """
+    import jax.numpy as jnp
+
+    return jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), tree)
+
+
+def sync(name: str = "mmvae_sync") -> None:
+    """Barrier across all processes (no-op single-process)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)

@@ -77,6 +77,11 @@ def save_checkpoint(
                 force=True,
             )
         ckptr.wait_until_finished()
+    if jax.process_index() != 0:
+        # Multi-host: the Orbax saves above are collective (every
+        # process participates); the plain-file pruning and sidecar
+        # below are primary-only (one writer per shared filesystem).
+        return
     if keep_epochs > 0:
         for old in epoch_checkpoints(workdir)[:-keep_epochs]:
             shutil.rmtree(

@@ -1,0 +1,105 @@
+"""Multi-host (multi-process) DP training parity.
+
+SURVEY.md §5 comms row: real pod slices are MULTI-HOST -- each process
+sees only its local chips and jax.distributed composes the global
+device set. The fake-device conftest harness can't exercise that
+process boundary, so this test spawns two REAL processes (4 virtual
+CPU devices each, Gloo collectives between them) running the
+production ``api.train`` loop over a shared workdir, and asserts the
+training history matches a single-process 8-device run of the
+identical config: same global mesh shape, same data, same seeds ==
+same program, so the trajectories must agree to reduction order.
+
+Marked slow: two subprocess JAX bring-ups + fresh program compiles.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from mmvae_tpu import api
+from mmvae_tpu.configs import get_config
+
+pytestmark = pytest.mark.slow
+
+_TINY = dict(
+    n_latents=8,
+    epochs=2,
+    batch_size=32,
+    train_size=64,
+    test_size=32,
+    annealing_epochs=1,
+)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_train_matches_single_process(tmp_path):
+    workdir = str(tmp_path / "mh")
+    os.makedirs(workdir)
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        # The workers set their own JAX/XLA env (4 devices per process,
+        # CPU backend); inheriting the suite's 8-device flags would
+        # give 16 global devices and a different program.
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    repo_root = os.path.dirname(os.path.dirname(worker))
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo_root, env.get("PYTHONPATH")) if p
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), workdir],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(worker)),
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out.decode(errors="replace"))
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+
+    with open(os.path.join(workdir, "history.json")) as f:
+        mh = json.load(f)
+    assert mh["n_processes"] == 2
+    assert mh["n_devices"] == 8
+
+    # Single-process reference on the suite's own 8 fake devices: the
+    # identical global mesh/program, so per-epoch losses must agree.
+    cfg = get_config("mnist").replace(**_TINY)
+    ref = api.train(
+        cfg, str(tmp_path / "ref"), seed=0, use_mesh=True, verbose=False
+    )
+    assert len(mh["history"]) == len(ref.history)
+    for got, want in zip(mh["history"], ref.history):
+        np.testing.assert_allclose(
+            got["train_loss"], want["train_loss"], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            got["test_elbo"], want["test_elbo"], rtol=1e-5
+        )
+
+    # The shared-workdir checkpoint written under 2 processes restores
+    # in a plain single-process context (the sample.py contract).
+    elbo = api.eval_elbo(cfg, workdir=workdir)
+    assert np.isfinite(elbo)
+    np.testing.assert_allclose(elbo, mh["best"], rtol=1e-5)
