@@ -73,7 +73,12 @@ def fsdp_shard(
         sh = fsdp_sharding(
             mesh, tuple(x.shape), axis_name=axis_name, min_size=min_size
         )
-        return jax.device_put(x, sh)
+        # _put = device_put that stays valid on a MULTI-HOST mesh
+        # (stages host data; process-local committed arrays are not a
+        # valid source for a global sharding) -- mesh.py.
+        from mmvae_tpu.parallel.mesh import _put
+
+        return _put(x, sh)
 
     return jax.tree.map(place, tree)
 

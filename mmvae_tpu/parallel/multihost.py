@@ -90,17 +90,30 @@ def is_primary() -> bool:
 
 
 def fetch_replicated(tree: Any) -> Any:
-    """Fully-replicated global PyTree -> process-local jnp arrays.
+    """Global PyTree -> process-local jnp arrays.
 
     Mesh-trained params are global arrays spanning every host; a
     process-local program (the padded split evaluator, the sampling
-    decoders) cannot consume them directly. Replicated means every
-    process holds complete copies, so the fetch is a local HBM->host
-    read with zero cross-host traffic.
+    decoders) cannot consume them directly. Replicated leaves (DP) are
+    a local HBM->host read -- every process already holds complete
+    copies, zero cross-host traffic. FSDP-sharded leaves are
+    materialized via ``process_allgather`` (one cross-host gather per
+    eval, the price of not holding full params anywhere).
     """
     import jax.numpy as jnp
 
-    return jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), tree)
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            if x.is_fully_replicated:
+                return jnp.asarray(np.asarray(x))
+            from jax.experimental import multihost_utils
+
+            return jnp.asarray(
+                multihost_utils.process_allgather(x, tiled=True)
+            )
+        return x
+
+    return jax.tree.map(fetch, tree)
 
 
 def sync(name: str = "mmvae_sync") -> None:

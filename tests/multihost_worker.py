@@ -7,7 +7,7 @@ tiny MNIST config over a shared workdir; the primary process dumps the
 per-epoch history for the parent test to compare against a
 single-process 8-device run of the identical config.
 
-Usage: python multihost_worker.py <process_id> <num_processes> <port> <workdir>
+Usage: python multihost_worker.py <pid> <nproc> <port> <workdir> [dp|fsdp]
 """
 import json
 import os
@@ -15,6 +15,7 @@ import sys
 
 pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
 workdir = sys.argv[4]
+mode = sys.argv[5] if len(sys.argv) > 5 else "dp"
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
@@ -50,6 +51,7 @@ cfg = get_config("mnist").replace(
     train_size=64,
     test_size=32,
     annealing_epochs=1,
+    fsdp=(mode == "fsdp"),
 )
 
 result = api.train(cfg, workdir, seed=0, use_mesh=True, verbose=False)

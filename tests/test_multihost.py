@@ -43,7 +43,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_train_matches_single_process(tmp_path):
+@pytest.mark.parametrize("mode", ["dp", "fsdp"])
+def test_two_process_train_matches_single_process(tmp_path, mode):
     workdir = str(tmp_path / "mh")
     os.makedirs(workdir)
     port = _free_port()
