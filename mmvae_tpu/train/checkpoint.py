@@ -48,6 +48,26 @@ def _to_tree(state: TrainState, extra: dict[str, Any]) -> dict[str, Any]:
     return tree
 
 
+def _read_meta(ckpt_dir: str) -> dict[str, Any]:
+    meta_path = os.path.join(ckpt_dir, "last_meta.json")
+    if not os.path.exists(meta_path):
+        return {}
+    with open(meta_path) as f:
+        return json.load(f)
+
+
+def _write_meta_atomic(ckpt_dir: str, meta: dict[str, Any]) -> None:
+    # tmp + os.replace: a kill mid-write can never leave a truncated
+    # pointer file (the pointer is what makes the whole save durable).
+    meta_path = os.path.join(ckpt_dir, "last_meta.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, meta_path)
+
+
 def save_checkpoint(
     workdir: str,
     state: TrainState,
@@ -56,20 +76,36 @@ def save_checkpoint(
     extra: dict[str, Any] | None = None,
     keep_epochs: int = 0,
 ) -> None:
-    """Write ``<workdir>/ckpt/last`` (and ``best`` when ``is_best``).
+    """Write the per-epoch checkpoint (and the best pointer on improvement).
 
     ``keep_epochs > 0`` additionally writes ``ckpt/epoch_<k>`` and
     retains the newest ``keep_epochs`` of them -- the reference's
     save-each-epoch contract (SURVEY.md 2.12) with bounded disk use.
+
+    Crash durability: Orbax's ``force=True`` overwrite rmtree's the
+    EXISTING directory before the replacement's tmp-dir rename, so a
+    preemption landing inside the save window would lose the only
+    checkpoint. Every save therefore goes to a UNIQUE epoch-tagged
+    directory (``last_<k>`` / ``best_<k>`` -- fresh path, no force,
+    atomic tmp+rename inside Orbax), then the ``last_meta.json``
+    pointer is atomically replaced, and only THEN is the superseded
+    directory deleted -- a kill at any instant leaves a reachable,
+    complete checkpoint (tests/test_failure_recovery.py).
     """
     tree = _to_tree(state, {"epoch": epoch, **(extra or {})})
     ckpt_dir = os.path.join(os.path.abspath(workdir), "ckpt")
+    primary = jax.process_index() == 0
+    prev = _read_meta(ckpt_dir) if primary else {}
+    last_name = f"last_{epoch:05d}"
+    best_name = f"best_{epoch:05d}"
     # Orbax writes atomically (tmp dir + rename) and saves async; wait so
     # the "best model feeds sample.py" contract holds immediately.
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.join(ckpt_dir, "last"), tree, force=True)
+        ckptr.save(os.path.join(ckpt_dir, last_name), tree, force=True)
         if is_best:
-            ckptr.save(os.path.join(ckpt_dir, "best"), tree, force=True)
+            ckptr.save(
+                os.path.join(ckpt_dir, best_name), tree, force=True
+            )
         if keep_epochs > 0:
             ckptr.save(
                 os.path.join(ckpt_dir, f"epoch_{epoch:05d}"),
@@ -77,23 +113,54 @@ def save_checkpoint(
                 force=True,
             )
         ckptr.wait_until_finished()
-    if jax.process_index() != 0:
+    if not primary:
         # Multi-host: the Orbax saves above are collective (every
-        # process participates); the plain-file pruning and sidecar
-        # below are primary-only (one writer per shared filesystem).
+        # process participates); the plain-file pointer flip and
+        # pruning below are primary-only (one writer per shared FS).
         return
+    meta: dict[str, Any] = {"epoch": int(epoch), "last_dir": last_name}
+    meta["best_dir"] = best_name if is_best else prev.get("best_dir")
+    meta.update({k: float(v) for k, v in (extra or {}).items()})
+    _write_meta_atomic(ckpt_dir, meta)
+    # Superseded directories go only AFTER the pointer flip.
+    for old in (prev.get("last_dir"), prev.get("best_dir") if is_best else None):
+        if old and old not in (last_name, best_name):
+            shutil.rmtree(
+                os.path.join(ckpt_dir, old), ignore_errors=True
+            )
     if keep_epochs > 0:
         for old in epoch_checkpoints(workdir)[:-keep_epochs]:
             shutil.rmtree(
                 os.path.join(ckpt_dir, f"epoch_{old:05d}"),
                 ignore_errors=True,
             )
-    # Tiny metadata sidecar so resume probes don't have to restore the
-    # full params/opt-state tree just to read one int.
-    meta = {"epoch": int(epoch)}
-    meta.update({k: float(v) for k, v in (extra or {}).items()})
-    with open(os.path.join(ckpt_dir, "last_meta.json"), "w") as f:
-        json.dump(meta, f)
+
+
+def _resolve_ckpt_path(ckpt_dir: str, which: str) -> str | None:
+    """Resolve "last"/"best" to an on-disk checkpoint directory.
+
+    Resolution order: the ``last_meta.json`` pointer (current layout,
+    epoch-tagged dirs) -> a plain ``ckpt/<which>`` directory (legacy
+    layout, pre-round-3 checkpoints) -> the newest epoch-tagged dir of
+    that kind (pointer lost in a crash window). None if nothing exists.
+    """
+    meta = _read_meta(ckpt_dir)
+    name = meta.get("best_dir" if which == "best" else "last_dir")
+    if name and os.path.exists(os.path.join(ckpt_dir, name)):
+        return os.path.join(ckpt_dir, name)
+    legacy = os.path.join(ckpt_dir, which)
+    if os.path.exists(legacy):
+        return legacy
+    if not os.path.isdir(ckpt_dir):
+        return None
+    prefix = f"{which}_"
+    cands = sorted(
+        n
+        for n in os.listdir(ckpt_dir)
+        # epoch-tagged dirs only; Orbax tmp dirs carry a "." suffix
+        if n.startswith(prefix) and "." not in n
+    )
+    return os.path.join(ckpt_dir, cands[-1]) if cands else None
 
 
 def epoch_checkpoints(workdir: str) -> list[int]:
@@ -121,9 +188,11 @@ def load_checkpoint(
     Falls back from "best" to "last" if best was never written.
     """
     ckpt_dir = os.path.join(os.path.abspath(workdir), "ckpt")
-    path = os.path.join(ckpt_dir, which)
-    if not os.path.exists(path) and which == "best":
-        path = os.path.join(ckpt_dir, "last")
+    path = _resolve_ckpt_path(ckpt_dir, which)
+    if path is None and which == "best":
+        path = _resolve_ckpt_path(ckpt_dir, "last")
+    if path is None:  # nothing resolvable: let Orbax raise its error
+        path = os.path.join(ckpt_dir, which)
     template = _to_tree(template_state, {})
     # The checkpoint may disagree with the template about the EMA
     # shadow (saved without EMA, resumed with --ema-decay, or vice
@@ -177,17 +246,23 @@ def load_checkpoint(
 def latest_epoch(workdir: str) -> int | None:
     """Epoch recorded in the last checkpoint, or None if none exists.
 
-    Reads the metadata sidecar when present; falls back to a full Orbax
-    restore only for checkpoints written before the sidecar existed.
+    Reads the metadata sidecar when present; epoch-tagged directory
+    names cover the pointer-lost crash window; a full Orbax restore is
+    the fallback only for legacy (pre-sidecar) checkpoints.
     """
     ckpt_dir = os.path.join(os.path.abspath(workdir), "ckpt")
-    path = os.path.join(ckpt_dir, "last")
-    if not os.path.exists(path):
+    path = _resolve_ckpt_path(ckpt_dir, "last")
+    if path is None:
         return None
-    meta_path = os.path.join(ckpt_dir, "last_meta.json")
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            return int(json.load(f)["epoch"])
-    with ocp.PyTreeCheckpointer() as ckptr:
+    meta = _read_meta(ckpt_dir)
+    if "epoch" in meta and (
+        meta.get("last_dir") == os.path.basename(path)
+        or "last_dir" not in meta  # legacy sidecar next to ckpt/last
+    ):
+        return int(meta["epoch"])
+    base = os.path.basename(path)
+    if base.startswith("last_"):  # epoch-tagged dir, pointer lost
+        return int(base.split("_", 1)[1])
+    with ocp.PyTreeCheckpointer() as ckptr:  # legacy layout
         tree = ckptr.restore(path)
     return int(tree["extra"]["epoch"])

@@ -177,7 +177,9 @@ def test_corrupt_checkpoint_fails_loudly(tmp_path):
         model, model.dummy_batch(2), jax.random.key(0), 1e-3
     )
     save_checkpoint(str(tmp_path), state, 1)
-    last = tmp_path / "ckpt" / "last"
+    from mmvae_tpu.train.checkpoint import _resolve_ckpt_path
+
+    last = _resolve_ckpt_path(str(tmp_path / "ckpt"), "last")
     for root, _dirs, files in os.walk(last):
         for name in files:
             p = os.path.join(root, name)

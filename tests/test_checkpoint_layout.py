@@ -1,0 +1,111 @@
+"""Checkpoint layout durability (train/checkpoint.py).
+
+Orbax's ``force=True`` overwrite rmtree's the existing directory BEFORE
+the replacement's atomic rename, so writing ``ckpt/last`` in place
+would leave a whole save-duration window where a preemption destroys
+the only checkpoint. The shipped scheme — unique epoch-tagged dirs +
+an atomically-replaced pointer + delete-after-flip — must keep a
+complete checkpoint reachable at every instant, including with a stale
+in-flight tmp dir and with the pointer file itself lost, and must
+still read checkpoints written by the legacy in-place layout.
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from mmvae_tpu.models import MnistMVAE
+from mmvae_tpu.train import create_train_state
+from mmvae_tpu.train.checkpoint import (
+    _resolve_ckpt_path,
+    latest_epoch,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_state():
+    model = MnistMVAE(n_latents=8)
+    return create_train_state(
+        model, model.dummy_batch(2), jax.random.key(0), 1e-3
+    )
+
+
+def _params_equal(a, b):
+    for x, y in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_epoch_tagged_dirs_and_pruning(tiny_state, tmp_path):
+    wd = str(tmp_path)
+    ckpt = os.path.join(wd, "ckpt")
+    save_checkpoint(wd, tiny_state, 1, is_best=True)
+    assert os.path.isdir(os.path.join(ckpt, "last_00001"))
+    assert os.path.isdir(os.path.join(ckpt, "best_00001"))
+    save_checkpoint(wd, tiny_state, 2, is_best=False)
+    # Superseded "last" pruned only after the pointer flip; the best
+    # pointer keeps riding epoch 1's directory.
+    assert not os.path.exists(os.path.join(ckpt, "last_00001"))
+    assert os.path.isdir(os.path.join(ckpt, "last_00002"))
+    assert os.path.isdir(os.path.join(ckpt, "best_00001"))
+    save_checkpoint(wd, tiny_state, 3, is_best=True)
+    assert os.path.isdir(os.path.join(ckpt, "best_00003"))
+    assert not os.path.exists(os.path.join(ckpt, "best_00001"))
+    assert latest_epoch(wd) == 3
+    state, extra = load_checkpoint(wd, tiny_state, which="best")
+    assert int(extra["epoch"]) == 3
+
+
+def test_inflight_tmp_dir_is_ignored(tiny_state, tmp_path):
+    """A crash mid-save leaves an Orbax tmp dir; resolution must keep
+    answering with the completed checkpoint."""
+    wd = str(tmp_path)
+    ckpt = os.path.join(wd, "ckpt")
+    save_checkpoint(wd, tiny_state, 2)
+    os.makedirs(
+        os.path.join(ckpt, "last_00003.orbax-checkpoint-tmp-42")
+    )
+    assert latest_epoch(wd) == 2
+    assert _resolve_ckpt_path(ckpt, "last").endswith("last_00002")
+    state, extra = load_checkpoint(wd, tiny_state, which="last")
+    assert int(extra["epoch"]) == 2
+
+
+def test_lost_pointer_falls_back_to_newest_tagged_dir(
+    tiny_state, tmp_path
+):
+    """Pointer file destroyed (the one non-atomic-window artifact left
+    is a MISSING pointer, never a truncated one): newest tagged dir
+    answers."""
+    wd = str(tmp_path)
+    ckpt = os.path.join(wd, "ckpt")
+    save_checkpoint(wd, tiny_state, 1)
+    save_checkpoint(wd, tiny_state, 2)
+    os.remove(os.path.join(ckpt, "last_meta.json"))
+    assert latest_epoch(wd) == 2
+    state, extra = load_checkpoint(wd, tiny_state, which="last")
+    assert int(extra["epoch"]) == 2
+
+
+def test_legacy_inplace_layout_still_loads(tiny_state, tmp_path):
+    """Checkpoints written by the pre-round-3 in-place layout
+    (``ckpt/last`` + bare-epoch sidecar) keep loading."""
+    wd = str(tmp_path)
+    ckpt = os.path.join(wd, "ckpt")
+    save_checkpoint(wd, tiny_state, 4)
+    os.rename(
+        os.path.join(ckpt, "last_00004"), os.path.join(ckpt, "last")
+    )
+    with open(os.path.join(ckpt, "last_meta.json"), "w") as f:
+        json.dump({"epoch": 4}, f)  # legacy sidecar: no dir pointers
+    assert latest_epoch(wd) == 4
+    loaded, extra = load_checkpoint(wd, tiny_state, which="last")
+    assert int(extra["epoch"]) == 4
+    _params_equal(loaded, tiny_state)
+    # And with no sidecar at all (oldest layout): full-restore fallback.
+    os.remove(os.path.join(ckpt, "last_meta.json"))
+    assert latest_epoch(wd) == 4
