@@ -263,6 +263,13 @@ def _build_parser() -> argparse.ArgumentParser:
         "batch-polymorphic export (one artifact, any request size)",
     )
     px.add_argument("--sample-z", action="store_true")
+    px.add_argument(
+        "--seed-mode", dest="seed_mode", default="per_row",
+        choices=["per_row", "scalar"],
+        help="per_row (default): (batch,) row seeds, rows are batch-"
+        "position-independent so the serving host can coalesce "
+        "concurrent requests exactly; scalar: legacy whole-batch seed",
+    )
     px.add_argument("--n-latents", dest="n_latents", type=int)
     px.add_argument(
         "--platforms", default="cpu,tpu",
@@ -390,6 +397,7 @@ def main(argv=None) -> int:
             sample_z=args.sample_z,
             platforms=tuple(args.platforms.split(",")),
             dtype=dtype,
+            seed_mode=args.seed_mode,
         )
         print(
             json.dumps(

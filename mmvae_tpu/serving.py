@@ -40,7 +40,9 @@ __all__ = ["make_generate_fn", "export_generate", "load_generate"]
 _MAGIC = b"MMVAEXP1"
 
 
-def make_generate_fn(model, params, *, sample_z: bool = False) -> Callable:
+def make_generate_fn(
+    model, params, *, sample_z: bool = False, per_row_seed: bool = False
+) -> Callable:
     """Jittable ``(batch, presence, seed, temperature) -> outputs`` with
     the params closed over.
 
@@ -49,6 +51,14 @@ def make_generate_fn(model, params, *, sample_z: bool = False) -> Callable:
     when ``sample_z``), every decoder runs, outputs are postprocessed
     per likelihood kind (bernoulli → sigmoid probs, categorical →
     argmax ids, seq → sampled token ids at ``temperature``).
+
+    ``per_row_seed=True`` takes ``seed`` as a ``(batch,)`` int32 array
+    and vmaps a batch-1 program over the rows, so row i's output is a
+    pure function of (row i's data, presence, seed, temperature) —
+    independent of batch position and of every other row. That property
+    is what makes server-side request coalescing EXACT: a request gets
+    bit-identical results whether it runs alone or batched with
+    strangers (tools/serve.py's dynamic batcher requires it).
     """
     kinds = model.decode_kinds()
     seq_names = [s.name for s in model.specs() if s.kind == "seq"]
@@ -77,7 +87,18 @@ def make_generate_fn(model, params, *, sample_z: bool = False) -> Callable:
             )
         return out
 
-    return fn
+    if not per_row_seed:
+        return fn
+
+    def per_row_fn(batch, presence, seeds, temperature):
+        def row(batch_row, presence_row, seed):
+            b1 = jax.tree.map(lambda v: v[None], batch_row)
+            out = fn(b1, presence_row[None], seed, temperature)
+            return jax.tree.map(lambda v: v[0], out)
+
+        return jax.vmap(row, in_axes=(0, 0, 0))(batch, presence, seeds)
+
+    return per_row_fn
 
 
 def export_generate(
@@ -91,6 +112,7 @@ def export_generate(
     sample_z: bool = False,
     platforms: tuple[str, ...] = ("cpu", "tpu"),
     dtype=jnp.float32,
+    seed_mode: str = "per_row",
 ) -> str:
     """Export the generation program for ``config`` to ``out_path``.
 
@@ -103,7 +125,15 @@ def export_generate(
     artifact serves any request size with no padding — the recurrent
     text decode and every static-shape constraint still hold because
     only the leading dim varies. Returns ``out_path``.
+
+    ``seed_mode``: ``"per_row"`` (default) exports the seed input as a
+    ``(batch,)`` array and makes every row's output independent of its
+    batch position — the property tools/serve.py's request coalescing
+    relies on; ``"scalar"`` keeps the legacy whole-batch seed (rows
+    share one RNG stream, so padding/position changes the draws).
     """
+    if seed_mode not in ("per_row", "scalar"):
+        raise ValueError(f"seed_mode must be per_row|scalar: {seed_mode}")
     from jax import export as jexport
 
     from mmvae_tpu import api
@@ -117,7 +147,10 @@ def export_generate(
             raise ValueError("need params or workdir")
         params = api._load_params(config, model, workdir)
 
-    fn = make_generate_fn(model, params, sample_z=sample_z)
+    per_row = seed_mode == "per_row"
+    fn = make_generate_fn(
+        model, params, sample_z=sample_z, per_row_seed=per_row
+    )
     n_mod = model.n_modalities
     dynamic = batch_size == "dynamic"
     concrete = 2 if dynamic else int(batch_size)
@@ -127,10 +160,13 @@ def export_generate(
         for k, v in batch.items()
     }
     presence_spec = jax.ShapeDtypeStruct((concrete, n_mod), np.float32)
+    seed_spec = jax.ShapeDtypeStruct(
+        (concrete,) if per_row else (), np.int32
+    )
     args = (
         batch_spec,
         presence_spec,
-        jax.ShapeDtypeStruct((), np.int32),
+        seed_spec,
         jax.ShapeDtypeStruct((), np.float32),
     )
     if dynamic:
@@ -143,7 +179,7 @@ def export_generate(
             (
                 {k: spec_str(v) for k, v in batch_spec.items()},
                 "b, _",
-                None,
+                "b" if per_row else None,
                 None,
             ),
         )
@@ -154,6 +190,10 @@ def export_generate(
             "config": config.name,
             "batch_size": "dynamic" if dynamic else int(batch_size),
             "sample_z": sample_z,
+            # "per_row": seed is a (batch,) array, rows are position-
+            # independent (coalescing-safe); absent/"scalar": legacy
+            # whole-batch seed.
+            "seed_mode": seed_mode,
             "platforms": list(platforms),
             "modalities": [s.name for s in model.specs()],
             # batch key -> expert names it feeds (CelebA's stacked
@@ -186,6 +226,10 @@ def load_generate(path: str):
     ``call(batch, presence, seed, temperature)`` runs the deserialized
     program on the current backend (must be one of the artifact's
     platforms). ``meta`` is the JSON header dict.
+
+    For ``seed_mode == "per_row"`` artifacts ``seed`` may be a scalar
+    (expanded to ``seed + arange(batch)`` — each row distinct but
+    deterministic) or an explicit ``(batch,)`` array of row seeds.
     """
     from jax import export as jexport
 
@@ -197,11 +241,16 @@ def load_generate(path: str):
         meta = json.loads(f.read(hlen).decode())
         blob = f.read()
     exported = jexport.deserialize(blob)
+    per_row = meta.get("seed_mode", "scalar") == "per_row"
 
     def call(batch: dict[str, Any], presence, seed=0, temperature=1.0):
+        presence = jnp.asarray(presence, jnp.float32)
+        seed = np.asarray(seed, np.int32)
+        if per_row and seed.ndim == 0:
+            seed = seed + np.arange(presence.shape[0], dtype=np.int32)
         return exported.call(
             batch,
-            jnp.asarray(presence, jnp.float32),
+            presence,
             jnp.asarray(seed, jnp.int32),
             jnp.asarray(temperature, jnp.float32),
         )

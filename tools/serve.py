@@ -1,11 +1,13 @@
-"""Minimal serving host for an exported generation artifact.
+"""Serving host for an exported generation artifact, with dynamic batching.
 
-    python tools/serve.py model.mmvaexp [port]
+    python tools/serve.py model.mmvaexp [port] [--max-batch 64]
+                          [--max-wait-ms 5] [--no-batch]
 
 Loads a ``cli export`` artifact (mmvae_tpu/serving.py) and serves it
 over HTTP with no dependencies beyond the stdlib + jax:
 
   GET  /meta      -> the artifact's JSON interface header
+  GET  /stats     -> batching counters (requests, device calls, rows)
   POST /generate  -> body {"condition": {<modality>: [...], ...},
                            "seed": 0, "temperature": 1.0}
                      -> {"outputs": {<modality>: nested lists}}
@@ -15,23 +17,161 @@ Conditioning semantics match ``api.generate``: modalities present in
 ones are generated. Requests are padded to the artifact's fixed batch
 size (AOT = static shapes) and the padding is stripped from the reply.
 
-This is intentionally the thinnest possible host -- the point is that
-the *artifact* carries the whole model (params + program), so a real
-deployment can embed the same ``load_generate`` call in any stack.
+Dynamic batching: concurrent requests are coalesced into ONE device
+call (up to the artifact's static batch, or ``--max-batch`` rows for a
+batch-polymorphic artifact, waiting at most ``--max-wait-ms`` for
+stragglers). Coalescing is EXACT — bit-identical to serving each
+request alone — because ``seed_mode="per_row"`` artifacts make row i's
+output a pure function of row i's (data, seed, temperature), not of its
+batch position (mmvae_tpu/serving.py::make_generate_fn). A request with
+scalar seed s and n rows uses row seeds s..s+n-1, the same expansion
+``load_generate`` applies, so solo and coalesced replies agree.
+Requests only coalesce with equal ``temperature`` (it is a whole-call
+scalar). Legacy scalar-seed artifacts serve one request per call
+(coalescing would change their draws); /stats says which mode is live.
+
+This is intentionally a thin host -- the point is that the *artifact*
+carries the whole model (params + program), so a real deployment can
+embed the same ``load_generate`` call in any stack.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import queue
 import sys
+import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
 
-def make_handler(meta, call):
+class _Item:
+    __slots__ = ("batch", "presence", "seeds", "temperature", "n",
+                 "event", "out", "error")
+
+    def __init__(self, batch, presence, seeds, temperature, n):
+        self.batch = batch
+        self.presence = presence
+        self.seeds = seeds
+        self.temperature = temperature
+        self.n = n
+        self.event = threading.Event()
+        self.out = None
+        self.error = None
+
+
+class Batcher:
+    """Coalesce concurrent requests into one artifact call.
+
+    Correctness contract: only used with ``seed_mode="per_row"``
+    artifacts, whose rows are position-independent, so splitting a
+    coalesced call's outputs back per request is exact.
+    """
+
+    def __init__(self, call, shapes, n_modalities, *, static_batch,
+                 max_batch=64, max_wait_ms=5.0):
+        self.call = call
+        self.shapes = shapes
+        self.n_modalities = n_modalities
+        self.static_batch = static_batch  # None for dynamic artifacts
+        self.max_batch = static_batch or max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self.q: queue.Queue[_Item] = queue.Queue()
+        self.stats = {
+            "requests": 0, "device_calls": 0, "rows": 0,
+            "padded_rows": 0, "coalesced_calls": 0,
+        }
+        self._lock = threading.Lock()
+        threading.Thread(target=self._worker, daemon=True).start()
+
+    def submit(self, batch, presence, seeds, temperature, n):
+        """Blocking: returns per-row outputs for this request's n rows."""
+        with self._lock:
+            self.stats["requests"] += 1
+            self.stats["rows"] += n
+        item = _Item(batch, presence, seeds, temperature, n)
+        self.q.put(item)
+        item.event.wait()
+        if item.error is not None:
+            raise item.error
+        return item.out
+
+    def _alloc(self, total):
+        if self.static_batch:
+            return self.static_batch
+        # Dynamic artifact: every distinct shape is a fresh compile, so
+        # round up to a power-of-two bucket to bound the program count.
+        b = 1
+        while b < total:
+            b *= 2
+        return min(b, self.max_batch) if total <= self.max_batch else total
+
+    def _worker(self):
+        pending = None
+        while True:
+            first = pending if pending is not None else self.q.get()
+            pending = None
+            group, total = [first], first.n
+            deadline = time.monotonic() + self.max_wait
+            while total < self.max_batch:
+                timeout = deadline - time.monotonic()
+                try:
+                    nxt = (self.q.get(timeout=timeout) if timeout > 0
+                           else self.q.get_nowait())
+                except queue.Empty:
+                    break
+                if (nxt.temperature != first.temperature
+                        or total + nxt.n > self.max_batch):
+                    pending = nxt  # next cycle leads with it
+                    break
+                group.append(nxt)
+                total += nxt.n
+            self._run(group, total)
+
+    def _run(self, group, total):
+        alloc = self._alloc(total)
+        try:
+            batch = {
+                k: np.zeros((alloc,) + shp[1:], dt)
+                for k, (shp, dt) in self.shapes.items()
+            }
+            presence = np.zeros((alloc, self.n_modalities), np.float32)
+            seeds = np.zeros((alloc,), np.int32)
+            off = 0
+            for it in group:
+                for k, v in it.batch.items():
+                    batch[k][off:off + it.n] = v
+                presence[off:off + it.n] = it.presence
+                seeds[off:off + it.n] = it.seeds
+                off += it.n
+            out = self.call(
+                batch, presence, seed=seeds,
+                temperature=group[0].temperature,
+            )
+            out = {k: np.asarray(v) for k, v in out.items()}
+            with self._lock:
+                self.stats["device_calls"] += 1
+                self.stats["padded_rows"] += alloc - total
+                if len(group) > 1:
+                    self.stats["coalesced_calls"] += 1
+            off = 0
+            for it in group:
+                it.out = {k: v[off:off + it.n] for k, v in out.items()}
+                off += it.n
+                it.event.set()
+        except Exception as e:  # noqa: BLE001 — surface to every waiter
+            for it in group:
+                it.error = e
+                it.event.set()
+
+
+def make_handler(meta, call, batcher=None):
     dynamic = meta["batch_size"] == "dynamic"
     batch_size = None if dynamic else int(meta["batch_size"])
+    per_row = meta.get("seed_mode", "scalar") == "per_row"
     modalities = list(meta["modalities"])
     shapes = {
         k: (tuple(v[0]), np.dtype(v[1]))
@@ -51,7 +191,8 @@ def make_handler(meta, call):
         for j, name in enumerate(names)
     }
 
-    def run_generate(payload):
+    def parse_rows(payload):
+        """Request body -> (n, row arrays, presence rows, seeds, temp)."""
         cond = payload.get("condition", {}) or {}
         unknown = set(cond) - set(shapes) - set(column_of)
         if unknown:
@@ -71,14 +212,11 @@ def make_handler(meta, call):
                 f"batch size {batch_size} (export with "
                 f"--batch-size-export dynamic for arbitrary sizes)"
             )
-        # Dynamic artifacts run at the request size (no padding);
-        # fixed-size artifacts pad to their static batch.
-        alloc = n if dynamic else batch_size
         batch = {
-            k: np.zeros((alloc,) + shp[1:], dt)
+            k: np.zeros((n,) + shp[1:], dt)
             for k, (shp, dt) in shapes.items()
         }
-        presence = np.zeros((alloc, len(modalities)), np.float32)
+        presence = np.zeros((n, len(modalities)), np.float32)
         idx = {m: i for i, m in enumerate(modalities)}
         for key, value in cond.items():
             if key in column_of:
@@ -91,11 +229,43 @@ def make_handler(meta, call):
             batch[key][: len(arr)] = arr
             for name in groups.get(key, []):
                 presence[: len(arr), idx[name]] = 1.0
+        seed = int(payload.get("seed", 0))
+        # Same expansion load_generate applies to a scalar seed, so a
+        # coalesced reply is bit-identical to the solo reply.
+        seeds = seed + np.arange(n, dtype=np.int32)
+        temperature = float(payload.get("temperature", 1.0))
+        return n, batch, presence, seeds, temperature
+
+    def run_generate(payload):
+        n, batch, presence, seeds, temperature = parse_rows(payload)
+        if batcher is not None:
+            rows = batcher.submit(batch, presence, seeds, temperature, n)
+            return {
+                "outputs": {k: v.tolist() for k, v in rows.items()},
+                "n": n,
+            }
+        # No batcher (legacy scalar-seed artifact): one call per
+        # request, padded to the static batch when the artifact is
+        # fixed-shape.
+        alloc = n if dynamic else batch_size
+        if alloc != n:
+            batch = {
+                k: np.concatenate(
+                    [v, np.zeros((alloc - n,) + v.shape[1:], v.dtype)]
+                )
+                for k, v in batch.items()
+            }
+            presence = np.concatenate(
+                [presence,
+                 np.zeros((alloc - n, len(modalities)), np.float32)]
+            )
+            seeds = np.concatenate(
+                [seeds, np.zeros((alloc - n,), np.int32)]
+            )
         out = call(
-            batch,
-            presence,
-            seed=int(payload.get("seed", 0)),
-            temperature=float(payload.get("temperature", 1.0)),
+            batch, presence,
+            seed=seeds if per_row else int(payload.get("seed", 0)),
+            temperature=temperature,
         )
         return {
             "outputs": {
@@ -116,6 +286,14 @@ def make_handler(meta, call):
         def do_GET(self):
             if self.path == "/meta":
                 self._reply(200, meta)
+            elif self.path == "/stats":
+                if batcher is None:
+                    self._reply(200, {"batching": "off"})
+                else:
+                    with batcher._lock:
+                        self._reply(
+                            200, {"batching": "on", **batcher.stats}
+                        )
             else:
                 self._reply(404, {"error": "unknown path"})
 
@@ -143,18 +321,54 @@ def make_handler(meta, call):
     return Handler
 
 
-def main() -> int:
+def make_server(path, port, *, max_batch=64, max_wait_ms=5.0,
+                batching=True):
+    """Build (server, meta, batcher) for an artifact — test hook."""
     from mmvae_tpu.serving import load_generate
 
-    path = sys.argv[1]
-    port = int(sys.argv[2]) if len(sys.argv) > 2 else 8901
     meta, call = load_generate(path)
+    batcher = None
+    if batching and meta.get("seed_mode", "scalar") == "per_row":
+        shapes = {
+            k: (tuple(v[0]), np.dtype(v[1]))
+            for k, v in meta["batch_shapes"].items()
+        }
+        dynamic = meta["batch_size"] == "dynamic"
+        batcher = Batcher(
+            call, shapes, len(meta["modalities"]),
+            static_batch=None if dynamic else int(meta["batch_size"]),
+            max_batch=max_batch, max_wait_ms=max_wait_ms,
+        )
     server = ThreadingHTTPServer(
-        ("127.0.0.1", port), make_handler(meta, call)
+        ("127.0.0.1", port), make_handler(meta, call, batcher)
+    )
+    return server, meta, batcher
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("artifact")
+    ap.add_argument("port", nargs="?", type=int, default=8901)
+    ap.add_argument("--max-batch", type=int, default=64,
+                    help="coalescing cap for dynamic artifacts "
+                    "(fixed-shape artifacts cap at their static batch)")
+    ap.add_argument("--max-wait-ms", type=float, default=5.0,
+                    help="how long a request waits for co-batchers")
+    ap.add_argument("--no-batch", action="store_true",
+                    help="serve one request per device call")
+    args = ap.parse_args()
+    server, meta, batcher = make_server(
+        args.artifact, args.port, max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms, batching=not args.no_batch,
     )
     print(
         json.dumps(
-            {"serving": path, "port": port, "config": meta["config"]}
+            {
+                "serving": args.artifact,
+                "port": args.port,
+                "config": meta["config"],
+                "batching": "on" if batcher is not None else "off",
+            }
         ),
         flush=True,
     )
