@@ -167,14 +167,30 @@ def train(
     use_mesh: bool = True,
     resume: bool = False,
     verbose: bool = True,
+    fault_hook=None,
 ) -> TrainResult:
     """Train an experiment config; checkpoint each epoch, track best.
 
     Mirrors the reference training loop (SURVEY.md 3a): per-epoch train
     pass with KL annealing, test-ELBO eval, best-model checkpointing --
     but as one jitted multi-term step over a data-parallel mesh.
+
+    ``config.nan_rollback > 0`` adds failure containment (SURVEY.md
+    section 5 "failure detection / elastic recovery"): a non-finite
+    epoch (train loss or test ELBO) restores the last finite
+    checkpoint, perturbs the data-order rng so the retry is not a
+    deterministic replay, and continues -- at most ``nan_rollback``
+    times per run before raising. ``fault_hook(epoch, state) -> state``
+    is the fault-injection seam (SURVEY.md section 5): called after
+    every epoch's train pass, it lets recovery tests poison the live
+    state exactly the way a hardware blast would. None in production.
     """
     config = _resolve(config)
+    if config.nan_rollback > 0 and workdir is None:
+        raise ValueError(
+            "nan_rollback needs a workdir: the rollback source is the "
+            "per-epoch checkpoint"
+        )
     # Multi-host: every process runs the identical loop over the global
     # mesh (deterministic data + seeds keep them in lockstep); exactly
     # one process owns host-side writes (parallel/multihost.py).
@@ -349,20 +365,27 @@ def train(
     evaluate = _make_split_evaluator(model, test_ds, config.batch_size)
 
     history: list[dict[str, float]] = []
-    for epoch in range(start_epoch, config.epochs + 1):
+    epoch = start_epoch
+    # Fresh arrays are in raw load order: the first epoch of this
+    # process forces a true shuffle (matters on resume with
+    # reshuffle_every>1); a nan_rollback restore re-forces it.
+    force_shuffle = True
+    rollbacks = 0
+    while epoch <= config.epochs:
         if in_program_gather:
             # Shuffle + gather run inside the program (state.rng seeds
             # the order): one dispatch, zero host bytes per epoch. The
-            # arrays are donated and persist shuffled across epochs;
-            # the first epoch of this process forces a true shuffle
-            # (fresh arrays are in raw load order -- matters on resume
-            # with reshuffle_every>1).
+            # arrays are donated and persist shuffled across epochs.
             state, train_arrays, ms = runner(
-                state, train_arrays, epoch == start_epoch
+                state, train_arrays, force_shuffle
             )
         elif config.data_backend == "grain":
+            # Epoch-indexed seeding (preemption-exact resume); rollback
+            # retries deliberately perturb the order so a data-order
+            # NaN is not replayed deterministically.
             batches = _grain_epoch(
-                train_ds, config, model, seed * 100003 + epoch,
+                train_ds, config, model,
+                seed * 100003 + epoch + rollbacks * 7919,
                 sharding=stacked_sharding,
             )
             state, ms = runner(state, batches)
@@ -372,6 +395,9 @@ def train(
                 sharding=stacked_sharding,
             )
             state, ms = runner(state, batches)
+        force_shuffle = False
+        if fault_hook is not None:
+            state = fault_hook(epoch, state)
         losses = np.asarray(ms["loss"])  # one host fetch per epoch
         if writer:
             li = config.log_interval
@@ -413,17 +439,83 @@ def train(
                 writer.write(rec)
         meter = AverageMeter()
         meter.update(float(losses.mean()), len(losses) * config.batch_size)
-        eval_params = state.eval_params
-        if jax.process_count() > 1:
-            # The padded split evaluator is a process-LOCAL program
-            # (identical on every process); mesh-trained params are
-            # global arrays, so pull the replicated copies local first
-            # (zero cross-host traffic -- replicated means every host
-            # already holds them).
-            from mmvae_tpu.parallel import fetch_replicated
+        train_finite = bool(np.isfinite(losses).all())
+        test_elbo = float("nan")
+        if train_finite or config.nan_rollback == 0:
+            eval_params = state.eval_params
+            if jax.process_count() > 1:
+                # The padded split evaluator is a process-LOCAL program
+                # (identical on every process); mesh-trained params are
+                # global arrays, so pull the replicated copies local
+                # first (zero cross-host traffic -- replicated means
+                # every host already holds them).
+                from mmvae_tpu.parallel import fetch_replicated
 
-            eval_params = fetch_replicated(eval_params)
-        test_elbo = evaluate(eval_params)
+                eval_params = fetch_replicated(eval_params)
+            test_elbo = evaluate(eval_params)
+        if config.nan_rollback > 0 and not (
+            train_finite and np.isfinite(test_elbo)
+        ):
+            # Failure containment: the rollback decision is a pure
+            # function of replicated metrics, so every process in a
+            # multi-host run takes this branch in lockstep.
+            if rollbacks >= config.nan_rollback:
+                raise RuntimeError(
+                    f"[{config.name}] epoch {epoch} went non-finite "
+                    f"after {rollbacks} rollback(s) -- nan_rollback "
+                    f"budget exhausted"
+                )
+            rollbacks += 1
+            from mmvae_tpu.train.checkpoint import latest_epoch
+
+            restored = latest_epoch(workdir)
+            if restored is None:
+                # Blast before the first save: restart from a fresh
+                # (perturbed-seed) init -- there is nothing to restore.
+                state = create_train_state(
+                    model, init_batch,
+                    jax.random.fold_in(rng, 0xBAD0 + rollbacks),
+                    _learning_rate(config, steps_per_epoch=steps_per_epoch),
+                    grad_clip=config.grad_clip,
+                    ema_decay=config.ema_decay,
+                    accum_steps=config.accum_steps,
+                )
+                if mesh is not None:
+                    if config.fsdp:
+                        from mmvae_tpu.parallel import fsdp_shard
+
+                        state = fsdp_shard(state, mesh)
+                    else:
+                        state = replicate(state, mesh)
+                restored = 0
+            else:
+                # The poisoned state is still a valid restore template
+                # (structure + shardings; values are overwritten). The
+                # rng fold makes the retry's data order fresh instead
+                # of a deterministic replay of the blast.
+                state, _extra = load_checkpoint(
+                    workdir, state, which="last"
+                )
+                state = state.replace(
+                    rng=jax.random.fold_in(state.rng, 0xBAD0 + rollbacks)
+                )
+            if writer:
+                writer.write({
+                    "kind": "event",
+                    "event": "nan_rollback",
+                    "failed_epoch": epoch,
+                    "restored_epoch": int(restored),
+                    "rollbacks": rollbacks,
+                })
+            if verbose and primary:
+                print(
+                    f"[{config.name}] epoch {epoch:3d} non-finite; "
+                    f"rolled back to epoch {int(restored)} "
+                    f"({rollbacks}/{config.nan_rollback})"
+                )
+            epoch = int(restored) + 1
+            force_shuffle = True
+            continue
         is_best = test_elbo < best
         best = min(best, test_elbo)
         record = {
@@ -449,6 +541,7 @@ def train(
                 extra={"best_test_elbo": best},
                 keep_epochs=config.keep_epoch_ckpts,
             )
+        epoch += 1
     if writer:
         writer.close()
     return TrainResult(config, model, state, best, history)

@@ -44,6 +44,7 @@ def _overrides(args, config):
         "keep_epoch_ckpts", "ema_decay", "data_dtype",
         "reshuffle_every", "warmup_epochs", "lr_schedule",
         "accum_steps", "shuffle_mode", "shuffle_granularity",
+        "nan_rollback",
         "cross_recon_weight",
         "cross_recon_stopgrad",
         "unimodal_align_weight",
@@ -111,6 +112,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "--accum-steps", dest="accum_steps", type=int,
         help="average gradients over k micro-batches before each Adam "
         "update (effective batch = k * batch-size)",
+    )
+    pt.add_argument(
+        "--nan-rollback", dest="nan_rollback", type=int,
+        help="on a non-finite epoch, restore the last finite checkpoint "
+        "and continue (at most N times per run; 0 = off, needs "
+        "--workdir)",
     )
     pt.add_argument(
         "--lr-schedule", dest="lr_schedule",

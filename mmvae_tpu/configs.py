@@ -71,6 +71,12 @@ class ExperimentConfig:
     # RENDER decode only: bernoulli decoders receive the cycle gradient
     # (measured attack on the low-contrast text-conditioned renders;
     # re-encode + final seq decode stay stop-gradiented)
+    nan_rollback: int = 0  # failure containment: when an epoch's train
+    # loss or test ELBO goes non-finite, restore the last finite
+    # checkpoint, perturb the data-order rng, and continue -- at most N
+    # rollbacks per run (0 = off, the run raises on the N+1th). Needs a
+    # workdir (the rollback source is the epoch checkpoint); an epoch-1
+    # blast with no checkpoint yet re-initializes from scratch instead
     train_size: int = 10000
     test_size: int = 2000
     log_interval: int = 100

@@ -143,7 +143,14 @@ def _resolve_ckpt_path(ckpt_dir: str, which: str) -> str | None:
     epoch-tagged dirs) -> a plain ``ckpt/<which>`` directory (legacy
     layout, pre-round-3 checkpoints) -> the newest epoch-tagged dir of
     that kind (pointer lost in a crash window). None if nothing exists.
+
+    Anything other than "last"/"best" (e.g. a retained per-epoch
+    snapshot name like ``epoch_00002``) resolves literally -- the
+    pointer file only tracks last/best.
     """
+    if which not in ("last", "best"):
+        p = os.path.join(ckpt_dir, which)
+        return p if os.path.exists(p) else None
     meta = _read_meta(ckpt_dir)
     name = meta.get("best_dir" if which == "best" else "last_dir")
     if name and os.path.exists(os.path.join(ckpt_dir, name)):
