@@ -97,11 +97,24 @@ _DATA_DTYPES = {
 }
 
 
-def _grain_epoch(train_ds, config, model, seed: int, sharding=None):
-    """One epoch through the Grain pipeline ([B:5]), stacked for the
-    scan-fused runner: Grain does the shuffle + modality-dropout on the
-    host, the result ships to device once (one transfer per epoch --
-    same dispatch profile as the device-resident path)."""
+def _grain_seed(seed: int, epoch: int, rollbacks: int) -> int:
+    """The grain backend's per-epoch shuffle seed.
+
+    Epoch-indexed (preemption-exact resume: a restarted process replays
+    the same orders); rollback retries perturb it so a data-order NaN
+    is not replayed deterministically. One definition shared by the
+    train loop and the prefetcher -- a hit/miss mismatch between them
+    would silently train on the wrong epoch's order."""
+    return seed * 100003 + epoch + rollbacks * 7919
+
+
+def _grain_epoch_host(
+    train_ds, config, model, seed: int
+) -> dict[str, np.ndarray]:
+    """Host half of a grain epoch: loader -> stacked numpy -> dtype cast.
+
+    Pure host work (no jax dispatch) so it can run on the prefetch
+    thread while the device trains the previous epoch."""
     from mmvae_tpu.data.grain_pipeline import make_grain_loader
 
     loader = make_grain_loader(
@@ -145,9 +158,83 @@ def _grain_epoch(train_ds, config, model, seed: int, sharding=None):
             )
             for k, v in stacked.items()
         }
+    return stacked
+
+
+def _stacked_to_device(stacked, sharding=None):
     if sharding is not None:
         return {k: jax.device_put(v, sharding) for k, v in stacked.items()}
     return {k: jnp.asarray(v) for k, v in stacked.items()}
+
+
+def _grain_epoch(train_ds, config, model, seed: int, sharding=None):
+    """One epoch through the Grain pipeline ([B:5]), stacked for the
+    scan-fused runner: Grain does the shuffle + modality-dropout on the
+    host, the result ships to device once (one transfer per epoch --
+    same dispatch profile as the device-resident path)."""
+    return _stacked_to_device(
+        _grain_epoch_host(train_ds, config, model, seed), sharding
+    )
+
+
+class _GrainPrefetcher:
+    """One-epoch-ahead pipeline for the grain backend.
+
+    A single worker thread prepares epoch k+1's HOST half (grain
+    loader + stacking + dtype cast -- pure numpy, no jax dispatch)
+    while the device trains epoch k and the main thread blocks on the
+    metrics fetch; ``take`` then issues the host->device transfer from
+    the MAIN thread.
+
+    The worker is deliberately host-only: a first version also issued
+    the ``device_put`` from the worker, and while jax dispatch is
+    documented thread-safe, one CLI run wedged indefinitely on the
+    experimental axon TPU client with the worker's transfer racing the
+    first-epoch eval compile / Orbax save (observed 2026-08-19;
+    intermittent -- the same command then passed repeatedly). Keeping
+    every jax entry on one thread removes that class of hazard; the
+    host half is the measured dominator of the grain epoch, so the
+    overlap win survives (BASELINE.md grain delta).
+
+    EXACTNESS: the prefetched epoch is the same ``_grain_epoch``
+    computation the serial path makes -- same per-epoch seed, same
+    arrays, same sharding -- so the training trajectory is
+    bit-identical (pinned by tests/test_grain.py). A ``take`` whose
+    seed does not match the scheduled one (first epoch; nan_rollback
+    retries, which perturb the seed) simply computes inline -- the
+    prefetcher can go stale, never wrong.
+    """
+
+    def __init__(self, train_ds, config, model, sharding=None):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(
+            1, thread_name_prefix="grain-prefetch"
+        )
+        self._args = (train_ds, config, model)
+        self._sharding = sharding
+        self._seed: int | None = None
+        self._fut = None
+
+    def schedule(self, seed: int) -> None:
+        if self._fut is not None and self._seed == seed:
+            return
+        self._seed = seed
+        self._fut = self._pool.submit(
+            _grain_epoch_host, *self._args, seed
+        )
+
+    def take(self, seed: int):
+        fut, hit = self._fut, self._seed == seed
+        self._fut = self._seed = None
+        if fut is not None and hit:
+            return _stacked_to_device(fut.result(), self._sharding)
+        if fut is not None:
+            fut.cancel()
+        return _grain_epoch(*self._args, seed, self._sharding)
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False, cancel_futures=True)
 
 
 class TrainResult(NamedTuple):
@@ -371,6 +458,13 @@ def train(
     # reshuffle_every>1); a nan_rollback restore re-forces it.
     force_shuffle = True
     rollbacks = 0
+    grain_prefetch = (
+        _GrainPrefetcher(
+            train_ds, config, model, sharding=stacked_sharding
+        )
+        if config.data_backend == "grain"
+        else None
+    )
     while epoch <= config.epochs:
         if in_program_gather:
             # Shuffle + gather run inside the program (state.rng seeds
@@ -380,15 +474,24 @@ def train(
                 state, train_arrays, force_shuffle
             )
         elif config.data_backend == "grain":
-            # Epoch-indexed seeding (preemption-exact resume); rollback
-            # retries deliberately perturb the order so a data-order
-            # NaN is not replayed deterministically.
-            batches = _grain_epoch(
-                train_ds, config, model,
-                seed * 100003 + epoch + rollbacks * 7919,
-                sharding=stacked_sharding,
+            # Seeding: see _grain_seed (epoch-indexed, rollback-
+            # perturbed). The prefetcher normally prepared this epoch
+            # (stack + transfer) while the previous one trained; a
+            # seed miss (first epoch, rollback retry) computes inline.
+            batches = grain_prefetch.take(
+                _grain_seed(seed, epoch, rollbacks)
             )
             state, ms = runner(state, batches)
+            del batches
+            if epoch < config.epochs:
+                # Scan dispatch above is async: the worker thread runs
+                # epoch+1's grain loader + stacking on the host while
+                # the device trains this one and the main thread blocks
+                # on the metrics fetch (take() then transfers from the
+                # main thread -- see _GrainPrefetcher on why).
+                grain_prefetch.schedule(
+                    _grain_seed(seed, epoch + 1, rollbacks)
+                )
         else:
             batches = stacked_epoch(
                 train_ds, config.batch_size, np_rng,
@@ -542,6 +645,12 @@ def train(
                 keep_epochs=config.keep_epoch_ckpts,
             )
         epoch += 1
+    if grain_prefetch is not None:
+        # Politeness on the normal path (a pending future from a
+        # final-epoch rollback is cancelled/abandoned). On exception
+        # paths the executor's weakref-based worker shutdown + the
+        # stdlib atexit join handle it.
+        grain_prefetch.close()
     if writer:
         writer.close()
     return TrainResult(config, model, state, best, history)

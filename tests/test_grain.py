@@ -179,3 +179,52 @@ def test_grain_uint8_cast_skips_presence_mask():
     assert set(np.unique(pres)) <= {0.0, 1.0}
     # The image modality DID quantize.
     assert np.asarray(stacked["image"]).dtype == np.uint8
+
+
+def test_grain_prefetcher_hit_and_miss_match_serial(ds):
+    """The one-epoch-ahead prefetcher must return EXACTLY what the
+    serial ``_grain_epoch`` call returns -- on a scheduled hit (the
+    steady-state path), on a miss (first epoch / nan_rollback retries,
+    whose perturbed seed invalidates the scheduled epoch), and on a
+    stale schedule that must be abandoned, not served."""
+    from mmvae_tpu import api
+    from mmvae_tpu.configs import get_config
+    from mmvae_tpu.models import MnistMVAE
+
+    cfg = get_config("mnist").replace(
+        n_latents=8, batch_size=16, train_size=64, data_backend="grain"
+    )
+    model = MnistMVAE(n_latents=8)
+
+    def serial(seed):
+        return api._grain_epoch(ds, cfg, model, seed)
+
+    pf = api._GrainPrefetcher(ds, cfg, model)
+    try:
+        # Hit: scheduled seed is taken.
+        pf.schedule(api._grain_seed(3, 1, 0))
+        got = pf.take(api._grain_seed(3, 1, 0))
+        want = serial(api._grain_seed(3, 1, 0))
+        assert got.keys() == want.keys()
+        for k in want:
+            np.testing.assert_array_equal(
+                np.asarray(got[k]), np.asarray(want[k])
+            )
+        # Miss: a rollback perturbed the seed after epoch 2 was
+        # scheduled -- the stale epoch must be discarded.
+        pf.schedule(api._grain_seed(3, 2, 0))
+        got = pf.take(api._grain_seed(3, 2, 1))
+        want = serial(api._grain_seed(3, 2, 1))
+        for k in want:
+            np.testing.assert_array_equal(
+                np.asarray(got[k]), np.asarray(want[k])
+            )
+        # After a miss the prefetcher is empty: a fresh take computes.
+        got = pf.take(api._grain_seed(3, 3, 1))
+        want = serial(api._grain_seed(3, 3, 1))
+        for k in want:
+            np.testing.assert_array_equal(
+                np.asarray(got[k]), np.asarray(want[k])
+            )
+    finally:
+        pf.close()

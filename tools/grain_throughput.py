@@ -51,31 +51,52 @@ def measure_grain(batch: int = 100, steps: int = 200, n_epochs: int = 10):
     )
     runner = make_epoch_runner(model, annealing_steps=1000)
 
-    def epoch(seed):
+    def epoch_serial(seed):
         nonlocal state
         batches = api._grain_epoch(ds, config, model, seed)
         state, ms = runner(state, batches)
         # Host fetch = the only honest completion barrier on the relay.
         return float(np.asarray(ms["loss"]).sum())
 
-    epoch(0)  # compile + warmup
+    epoch_serial(0)  # compile + warmup
     t0 = time.perf_counter()
     for i in range(n_epochs):
-        epoch(i + 1)
-    dt = time.perf_counter() - t0
-    return batch * steps * n_epochs / dt
+        epoch_serial(i + 1)
+    serial_dt = time.perf_counter() - t0
+
+    # The prefetched path api.train actually runs (round 3): epoch k+1's
+    # grain loading + host stacking overlap epoch k's device scan +
+    # metrics fetch on a single worker thread; the transfer stays on
+    # the main thread (see api._GrainPrefetcher on why).
+    pf = api._GrainPrefetcher(ds, config, model)
+    try:
+        pf.schedule(100)
+        t0 = time.perf_counter()
+        for i in range(n_epochs):
+            batches = pf.take(100 + i)
+            # state is DONATED into the scan -- rebind, as api.train does.
+            state, ms = runner(state, batches)
+            pf.schedule(100 + i + 1)
+            float(np.asarray(ms["loss"]).sum())
+        prefetch_dt = time.perf_counter() - t0
+    finally:
+        pf.close()
+    n = batch * steps * n_epochs
+    return n / serial_dt, n / prefetch_dt
 
 
 def main() -> None:
     from bench import measure_jax
 
-    grain_sps = measure_grain()
+    serial_sps, prefetch_sps = measure_grain()
     device = measure_jax(n_epochs=10)
     line = {
-        "grain_samples_per_sec": round(grain_sps, 1),
+        "grain_samples_per_sec": round(prefetch_sps, 1),
+        "grain_serial_samples_per_sec": round(serial_sps, 1),
+        "prefetch_speedup": round(prefetch_sps / serial_sps, 3),
         "device_samples_per_sec": round(device["samples_per_sec"], 1),
         "grain_vs_device": round(
-            grain_sps / device["samples_per_sec"], 3
+            prefetch_sps / device["samples_per_sec"], 3
         ),
     }
     print(json.dumps(line))
