@@ -44,7 +44,7 @@ def _overrides(args, config):
         "keep_epoch_ckpts", "ema_decay", "data_dtype",
         "reshuffle_every", "warmup_epochs", "lr_schedule",
         "accum_steps", "shuffle_mode", "shuffle_granularity",
-        "nan_rollback",
+        "nan_rollback", "objective",
         "cross_recon_weight",
         "cross_recon_stopgrad",
         "unimodal_align_weight",
@@ -87,6 +87,14 @@ def _build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--test-size", dest="test_size", type=int)
     pt.add_argument(
         "--n-random-subsets", dest="n_random_subsets", type=int
+    )
+    pt.add_argument(
+        "--objective",
+        choices=["mvae", "mmvae", "mopoe"],
+        help="multimodal objective family: mvae (PoE subset ELBOs, "
+        "reference semantics), mmvae (mixture-of-experts posterior, "
+        "Shi et al. 2019) or mopoe (mixture of subset-PoEs, Sutter et "
+        "al. 2021); eval + generation follow the training objective",
     )
     pt.add_argument(
         "--p-modality-drop", dest="p_modality_drop", type=float

@@ -36,6 +36,12 @@ class ExperimentConfig:
     learning_rate: float = 1e-3
     annealing_epochs: int = 10  # --annealing-epochs (SURVEY.md 2.9)
     n_random_subsets: int = 0  # k sub-sampled modality combinations [B:5]
+    objective: str = "mvae"  # multimodal training objective family:
+    # "mvae" (reference: PoE joint + per-subset ELBOs, Wu & Goodman),
+    # "mmvae" (mixture-of-experts posterior, Shi et al. 2019) or
+    # "mopoe" (mixture of subset-PoEs, Sutter et al. 2021). All three
+    # run the same fused mask-matrix program (train/step.py); eval and
+    # generation follow the objective (core/mixture.py)
     p_modality_drop: float = 0.0  # data-side modality dropout [B:5]
     grad_clip: float = 0.0  # global-norm gradient clipping (0 = off)
     cross_recon_weight: float = 1.0  # weight on CROSS recon entries

@@ -19,6 +19,13 @@ from mmvae_tpu.core.elbo import (
 from mmvae_tpu.core.annealing import annealing_factor
 from mmvae_tpu.core.subsets import elbo_subset_masks, random_subset_masks
 from mmvae_tpu.core.iwae import iwae_bound
+from mmvae_tpu.core.mixture import (
+    OBJECTIVES,
+    component_masks,
+    fuse_observed_z,
+    mixture_z,
+    posterior_components,
+)
 
 __all__ = [
     "product_of_experts",
@@ -34,4 +41,9 @@ __all__ = [
     "elbo_subset_masks",
     "random_subset_masks",
     "iwae_bound",
+    "OBJECTIVES",
+    "component_masks",
+    "posterior_components",
+    "mixture_z",
+    "fuse_observed_z",
 ]

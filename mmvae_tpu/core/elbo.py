@@ -57,6 +57,7 @@ def elbo_terms(
     subset_masks: jnp.ndarray,
     lambdas: jnp.ndarray,
     beta,
+    term_weights: jnp.ndarray | None = None,
 ):
     """Combine per-term reconstruction NLLs and KLs into the total loss.
 
@@ -69,6 +70,11 @@ def elbo_terms(
       lambdas: ``(n_modalities,)`` per-modality recon weights (the
         reference's lambda_image / lambda_text style scaling).
       beta: scalar KL annealing factor.
+      term_weights: optional ``(n_terms, batch)`` per-example term
+        weights multiplying each term's (recon + beta*KL). The MVAE
+        objective sums terms unweighted (None); the mixture objectives
+        (MMVAE/MoPoE, ``core/mixture.py``) average over their mixture
+        components, i.e. weight each VALID component 1/K_valid.
 
     Returns:
       ``(loss, metrics)`` where ``loss`` is the batch-mean total loss
@@ -79,6 +85,8 @@ def elbo_terms(
     weights = subset_masks * lambdas[None, :]  # (T, M)
     recon_per_term = jnp.einsum("tm,tmb->tb", weights, nll)  # (T, B)
     per_term = recon_per_term + beta * kl  # (T, B)
+    if term_weights is not None:
+        per_term = per_term * term_weights
     loss = jnp.mean(jnp.sum(per_term, axis=0))
     metrics = {
         "loss": loss,

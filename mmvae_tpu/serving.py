@@ -32,8 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mmvae_tpu.core import reparameterize
-from mmvae_tpu.core.poe import product_of_experts
+from mmvae_tpu.core import fuse_observed_z
 
 __all__ = ["make_generate_fn", "export_generate", "load_generate"]
 
@@ -41,16 +40,23 @@ _MAGIC = b"MMVAEXP1"
 
 
 def make_generate_fn(
-    model, params, *, sample_z: bool = False, per_row_seed: bool = False
+    model,
+    params,
+    *,
+    sample_z: bool = False,
+    per_row_seed: bool = False,
+    objective: str = "mvae",
 ) -> Callable:
     """Jittable ``(batch, presence, seed, temperature) -> outputs`` with
     the params closed over.
 
-    Mirrors ``api.generate``'s math: masked PoE over the observed
-    experts (+ analytic prior), ``z = mu`` (or a reparameterized sample
-    when ``sample_z``), every decoder runs, outputs are postprocessed
-    per likelihood kind (bernoulli → sigmoid probs, categorical →
-    argmax ids, seq → sampled token ids at ``temperature``).
+    Mirrors ``api.generate``'s math: the objective-aware posterior draw
+    over the observed experts (``core/mixture.py`` — masked PoE + prior
+    for "mvae", the matching mixture for "mmvae"/"mopoe"), ``z = mu``
+    (or the mixture mean / a sample when ``sample_z``), every decoder
+    runs, outputs are postprocessed per likelihood kind (bernoulli →
+    sigmoid probs, categorical → argmax ids, seq → sampled token ids at
+    ``temperature``).
 
     ``per_row_seed=True`` takes ``seed`` as a ``(batch,)`` int32 array
     and vmaps a batch-1 program over the rows, so row i's output is a
@@ -66,10 +72,12 @@ def make_generate_fn(
     def fn(batch, presence, seed, temperature):
         variables = {"params": params}
         mu_e, lv_e = model.apply(variables, batch, method="encode")
-        mu, logvar = product_of_experts(mu_e, lv_e, mask=presence)
         key = jax.random.PRNGKey(seed)
         key, z_key = jax.random.split(key)
-        z = reparameterize(z_key, mu, logvar, sample=sample_z)
+        z = fuse_observed_z(
+            z_key, mu_e, lv_e, presence,
+            objective=objective, sample=sample_z,
+        )
         recons = model.apply(variables, z, None, method="decode")
         out = {}
         for name, value in recons.items():
@@ -148,8 +156,10 @@ def export_generate(
         params = api._load_params(config, model, workdir)
 
     per_row = seed_mode == "per_row"
+    objective = getattr(config, "objective", "mvae")
     fn = make_generate_fn(
-        model, params, sample_z=sample_z, per_row_seed=per_row
+        model, params, sample_z=sample_z, per_row_seed=per_row,
+        objective=objective,
     )
     n_mod = model.n_modalities
     dynamic = batch_size == "dynamic"
@@ -190,6 +200,10 @@ def export_generate(
             "config": config.name,
             "batch_size": "dynamic" if dynamic else int(batch_size),
             "sample_z": sample_z,
+            # Posterior family baked into the program ("mvae" PoE or a
+            # mixture objective, core/mixture.py) — informational; the
+            # math is inside the artifact.
+            "objective": objective,
             # "per_row": seed is a (batch,) array, rows are position-
             # independent (coalescing-safe); absent/"scalar": legacy
             # whole-batch seed.

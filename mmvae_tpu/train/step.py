@@ -41,6 +41,7 @@ from mmvae_tpu.core import (
     random_subset_masks,
     reparameterize,
 )
+from mmvae_tpu.core.mixture import _MOPOE_POWERSET_MAX, component_masks
 from mmvae_tpu.core.poe import product_of_experts
 from mmvae_tpu.ops import kl_std_normal
 
@@ -137,6 +138,25 @@ def _dequant_data(data, dtype):
     }
 
 
+def _unimodal_term_row(objective: str, n_mod: int, m_i: int) -> int:
+    """Static row index of modality ``m_i``'s unimodal term in the
+    objective's mask matrix (used by the cycle-consistency path, which
+    conditions on the s-only subset posterior — the exact latent
+    ``api.generate`` uses).
+
+    * ``"mvae"``: row 0 is the joint term, rows 1..M unimodal.
+    * ``"mmvae"``: the masks ARE the identity — row m_i.
+    * ``"mopoe"``: powerset rows are ordered by subset bit pattern
+      (``component_masks``), so singleton {m} sits at ``2^m - 1``; the
+      >8-modality fallback family is {joint} + {unimodal} like mvae.
+    """
+    if objective == "mmvae":
+        return m_i
+    if objective == "mopoe" and n_mod <= _MOPOE_POWERSET_MAX:
+        return 2**m_i - 1
+    return 1 + m_i
+
+
 def _sg_decoder_params(params):
     """Copy of ``params`` with every decoder subtree stop-gradiented.
 
@@ -169,10 +189,41 @@ def multi_term_loss(
     cycle_render_grad: bool = False,
     cycle_contrast_weight: float = 0.0,
     cycle_render_binarize: bool = False,
+    objective: str = "mvae",
     mesh=None,
     term_fold: str = "b",
 ):
     """Total multi-term ELBO loss (batch mean) + per-term metrics.
+
+    ``objective`` selects the multimodal training objective — all three
+    run through the SAME fused mask-matrix program, differing only in
+    which term masks are enumerated and how terms are weighted
+    (``core/mixture.py`` owns the mixture math and the matching
+    inference side):
+
+      * ``"mvae"`` (default, reference semantics — Wu & Goodman 2018):
+        joint + unimodal (+ k random) subset ELBOs, each reconstructing
+        its OWN modalities, summed.
+      * ``"mmvae"`` (mixture-of-experts, Shi et al. 2019): one term per
+        modality (the unimodal posteriors ARE the mixture components),
+        EVERY modality reconstructed from each, terms averaged (1/M) —
+        with per-example modality dropout, averaged over the OBSERVED
+        components only.
+      * ``"mopoe"`` (mixture-of-products, Sutter et al. 2021): one term
+        per nonempty modality subset (PoE-fused), every modality
+        reconstructed from each, terms averaged (1/(2^M - 1)); past 8
+        modalities the term family falls back to {joint} + {unimodal}
+        (see ``core.mixture._MOPOE_POWERSET_MAX``).
+
+    The mixture KL is the standard convexity upper bound
+    ``sum_k w_k KL(q_k || p)`` both papers train with — per-component
+    KLs to the prior, mixture-weighted, which is exactly the mask
+    program's per-term KL under the term weights. The MVAE-specific
+    term-structure knobs (``n_random_subsets``, ``cross_recon*``,
+    ``unimodal_align_weight``) are rejected under mixture objectives —
+    their job (cross-modal supervision) is what the mixture objective
+    itself does; ``cycle_*`` composes with any objective (it only needs
+    the unimodal-term latents).
 
     ``cycle_weight`` > 0 adds a generation-path cycle-consistency term
     for every sequence modality s: take the s-only subset posterior's
@@ -277,12 +328,34 @@ def multi_term_loss(
     """
     rng_subset, rng_z = jax.random.split(rng)
     n_mod = model.n_modalities
-    masks = elbo_subset_masks(n_mod)  # (1+M, M): joint + unimodal
-    if n_random_subsets > 0:
-        masks = jnp.concatenate(
-            [masks, random_subset_masks(rng_subset, n_random_subsets, n_mod)],
-            axis=0,
-        )
+    if objective == "mvae":
+        masks = elbo_subset_masks(n_mod)  # (1+M, M): joint + unimodal
+        if n_random_subsets > 0:
+            masks = jnp.concatenate(
+                [
+                    masks,
+                    random_subset_masks(
+                        rng_subset, n_random_subsets, n_mod
+                    ),
+                ],
+                axis=0,
+            )
+    elif objective in ("mmvae", "mopoe"):
+        if (
+            n_random_subsets
+            or cross_recon
+            or cross_recon_stopgrad
+            or unimodal_align_weight
+        ):
+            raise ValueError(
+                "n_random_subsets/cross_recon*/unimodal_align_weight "
+                "are mvae term-structure knobs; the "
+                f"{objective!r} mixture objective already decodes "
+                "every modality from every component"
+            )
+        masks = component_masks(objective, n_mod)  # (K, M)
+    else:
+        raise ValueError(f"unknown objective {objective!r}")
     n_terms = masks.shape[0]
     presence = batch.get("presence")
     data = {k: v for k, v in batch.items() if k != "presence"}
@@ -459,7 +532,23 @@ def multi_term_loss(
             nll_sg = nll_sg * presence.T[None]
         own = masks[:, :, None]  # (T, M, 1)
         nll = own * nll + (1.0 - own) * nll_sg
-    if cross_recon:
+    term_weights = None
+    if objective != "mvae":
+        # Mixture objectives: every modality is a recon target for
+        # every component, and terms average over the per-example
+        # VALID components — a component whose presence-effective mask
+        # is empty (modality dropout) fuses to the prior (KL exactly 0)
+        # and is excluded from the average, so nothing trains on
+        # prior-noise decodes. With everything observed this is the
+        # papers' uniform 1/K.
+        recon_masks = jnp.ones_like(masks)
+        valid = eff.sum(-1) > 0  # (T,B) in "t"; (B,T) otherwise
+        valid = valid if term_fold == "t" else valid.T
+        validf = valid.astype(nll.dtype)
+        term_weights = validf / jnp.maximum(
+            jnp.sum(validf, axis=0, keepdims=True), 1.0
+        )
+    elif cross_recon:
         # Every modality is a target for every subset posterior -- except
         # for an all-empty subset (possible when random subsets are drawn
         # alongside cross_recon): its posterior is the prior, and
@@ -477,7 +566,9 @@ def multi_term_loss(
         ) * nonempty
     else:
         recon_masks = masks
-    loss, metrics = elbo_terms(nll, kl, recon_masks, model.lambdas(), beta)
+    loss, metrics = elbo_terms(
+        nll, kl, recon_masks, model.lambdas(), beta, term_weights
+    )
     if unimodal_align_weight > 0.0:
         if term_fold == "t":
             q_mu, q_lv = fused_mu, fused_lv  # (T, B, L)
@@ -546,7 +637,8 @@ def multi_term_loss(
         cycle_ce = 0.0
         cycle_contrast = 0.0
         for s_i in seq_idx:
-            term = 1 + s_i  # unimodal term of modality s (mask row)
+            # Unimodal term of modality s (objective-dependent mask row).
+            term = _unimodal_term_row(objective, n_mod, s_i)
             z_s = z[term] if term_fold == "t" else z[:, term]
             rendered = model.apply(render_vars, z_s, data, method="decode")
             re_batch = dict(data)
@@ -642,6 +734,7 @@ def make_train_step(
     cycle_render_grad: bool = False,
     cycle_contrast_weight: float = 0.0,
     cycle_render_binarize: bool = False,
+    objective: str = "mvae",
     out_state_shardings=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -672,6 +765,7 @@ def make_train_step(
         cycle_render_grad=cycle_render_grad,
         cycle_contrast_weight=cycle_contrast_weight,
         cycle_render_binarize=cycle_render_binarize,
+        objective=objective,
         mesh=_mesh_of(out_state_shardings),
         term_fold=term_fold,
     )
@@ -707,6 +801,7 @@ def _train_step_impl(
     cycle_render_grad: bool = False,
     cycle_contrast_weight: float = 0.0,
     cycle_render_binarize: bool = False,
+    objective: str = "mvae",
     mesh=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -744,7 +839,8 @@ def _train_step_impl(
                 cycle_weight=cycle_weight,
                 cycle_render_grad=cycle_render_grad,
                 cycle_contrast_weight=cycle_contrast_weight,
-        cycle_render_binarize=cycle_render_binarize,
+                cycle_render_binarize=cycle_render_binarize,
+                objective=objective,
                 mesh=mesh,
                 term_fold=term_fold,
             )
@@ -775,6 +871,7 @@ def make_epoch_runner(
     cycle_render_grad: bool = False,
     cycle_contrast_weight: float = 0.0,
     cycle_render_binarize: bool = False,
+    objective: str = "mvae",
     out_state_shardings=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -802,6 +899,7 @@ def make_epoch_runner(
         cycle_render_grad=cycle_render_grad,
         cycle_contrast_weight=cycle_contrast_weight,
         cycle_render_binarize=cycle_render_binarize,
+        objective=objective,
         mesh=_mesh_of(out_state_shardings),
         term_fold=term_fold,
     )
@@ -838,6 +936,7 @@ def make_gather_epoch_runner(
     cycle_render_grad: bool = False,
     cycle_contrast_weight: float = 0.0,
     cycle_render_binarize: bool = False,
+    objective: str = "mvae",
     reshuffle_every: int = 1,
     n_shards: int = 1,
     shuffle_mode: str = "roll",
@@ -938,6 +1037,7 @@ def make_gather_epoch_runner(
         cycle_render_grad=cycle_render_grad,
         cycle_contrast_weight=cycle_contrast_weight,
         cycle_render_binarize=cycle_render_binarize,
+        objective=objective,
         term_fold=term_fold,
         mesh=mesh if term_fold == "st" else None,
     )
@@ -1187,8 +1287,13 @@ def make_gather_epoch_runner(
     return run_epoch
 
 
-def make_eval_step(model) -> Callable:
+def make_eval_step(model, objective: str = "mvae") -> Callable:
     """Jitted eval step: full ELBO, beta=1, z=mu (SURVEY.md 3c).
+
+    ``objective`` selects the eval-time term family so the test metric
+    matches the training objective (mixture eval uses each component's
+    MEAN as its deterministic z, then averages terms — the sample=False
+    convention extended to mixtures).
 
     Single-device surface (api.eval paths) -- takes the t-major fold."""
 
@@ -1202,6 +1307,7 @@ def make_eval_step(model) -> Callable:
             beta=1.0,
             n_random_subsets=0,
             sample=False,
+            objective=objective,
             term_fold="t",
         )
         return metrics
@@ -1209,7 +1315,7 @@ def make_eval_step(model) -> Callable:
     return eval_step
 
 
-def make_eval_runner(model) -> Callable:
+def make_eval_runner(model, objective: str = "mvae") -> Callable:
     """Scan-fused eval over pre-stacked ``(n_batches, B, ...)`` data:
     one dispatch + one host fetch for the whole split (the eval-side
     twin of ``make_epoch_runner``). Returns per-batch stacked metrics."""
@@ -1225,6 +1331,7 @@ def make_eval_runner(model) -> Callable:
                 beta=1.0,
                 n_random_subsets=0,
                 sample=False,
+                objective=objective,
                 term_fold="t",
             )
             return None, metrics
