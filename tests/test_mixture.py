@@ -332,6 +332,45 @@ def test_mixture_rejects_mvae_term_knobs(mnist_setup):
         )
 
 
+def test_mixture_dp_matches_single_device():
+    """The mopoe step under the 8-fake-device DP mesh matches the
+    single-device step (same contract tests/test_dp.py pins for mvae:
+    the term weighting is per-example, so sharding the batch axis
+    changes nothing but the reduction order)."""
+    from mmvae_tpu.data import load_dataset
+    from mmvae_tpu.parallel import make_mesh, replicate, shard_batch
+    from mmvae_tpu.train import create_train_state, make_train_step
+
+    model = MnistMVAE(n_latents=8)
+    ds = load_dataset("mnist", n=64, seed=0)
+    step = make_train_step(
+        model, annealing_steps=10, objective="mopoe"
+    )
+    s1 = create_train_state(model, ds.arrays, jax.random.key(0), 1e-3)
+    for _ in range(2):
+        s1, m1 = step(s1, ds.arrays)
+
+    mesh = make_mesh()
+    s8 = replicate(
+        create_train_state(model, ds.arrays, jax.random.key(0), 1e-3),
+        mesh,
+    )
+    sharded = shard_batch(ds.arrays, mesh)
+    for _ in range(2):
+        s8, m8 = step(s8, sharded)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m8["loss"]), rtol=1e-4
+    )
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        # atol 5e-4: the psum's reduction order can flip Adam's
+        # normalized direction on near-zero-grad params in the first
+        # steps (observed: 1 element of 400k at 1.9e-4 after 2 steps).
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-4
+        )
+
+
 # --------------------------------------------------------- end to end
 
 

@@ -69,6 +69,55 @@ def test_export_roundtrip_matches_api_generate(
     )
 
 
+def test_export_mixture_objective_matches_api_generate(
+    model_and_params, tmp_path
+):
+    """A config trained with a mixture objective exports the mixture
+    posterior (core/mixture.py) into the artifact: the served outputs
+    must match api.generate under the same objective, and differ from
+    the mvae artifact's on partial conditioning (the mixture averages
+    components where mvae sharpens a PoE)."""
+    config, model, params = model_and_params
+    mix_cfg = config.replace(objective="mmvae")
+    path = str(tmp_path / "mnist_mmvae.mmvaexp")
+    serving.export_generate(
+        mix_cfg, path, batch_size=4, params=params, model=model,
+        platforms=("cpu",),
+    )
+    meta, call = serving.load_generate(path)
+    assert meta["objective"] == "mmvae"
+
+    batch = {
+        k: np.asarray(v) for k, v in model.dummy_batch(4).items()
+    }
+    batch["label"] = np.asarray([0, 1, 2, 3])
+    presence = np.asarray([[0.0, 1.0]] * 4, np.float32)
+    out = call(batch, presence, seed=0, temperature=1.0)
+    ref = api.generate(
+        mix_cfg, {"label": np.asarray([0, 1, 2, 3])},
+        model=model, params=params,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["image"]), np.asarray(ref["image"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    # Full conditioning (both observed): the mmvae mixture mean is the
+    # average of the unimodal posterior means -- NOT the mvae PoE mean.
+    full = {k: np.asarray(v) for k, v in model.dummy_batch(4).items()}
+    pres_full = np.ones((4, 2), np.float32)
+    out_full = call(full, pres_full, seed=0, temperature=1.0)
+    mvae_path = str(tmp_path / "mnist_mvae.mmvaexp")
+    serving.export_generate(
+        config, mvae_path, batch_size=4, params=params, model=model,
+        platforms=("cpu",),
+    )
+    _, call_mvae = serving.load_generate(mvae_path)
+    out_mvae = call_mvae(full, pres_full, seed=0, temperature=1.0)
+    assert not np.allclose(
+        np.asarray(out_full["image"]), np.asarray(out_mvae["image"])
+    )
+
+
 def test_artifact_header_readable_without_deserialize(
     model_and_params, tmp_path
 ):
