@@ -40,3 +40,18 @@ python -m mmvae_tpu.cli train --config cub --workdir $RUNS/cub128 \
   --config-file tools/cub128.json
 python tools/quality_check.py cub $RUNS/cub128
 python -m mmvae_tpu.cli eval --config cub --workdir $RUNS/cub128 --iwae-k 64
+
+# Objective-family comparison rows (round 3, BASELINE.md): the MMVAE
+# and MoPoE mixture objectives on the mnist settings of the table's
+# mvae+cross-recon row (no cross-recon flag -- the mixture objectives
+# decode every modality from every component by construction), plus
+# the MultiMNIST no-cycle comparison (does the mixture objective move
+# the text->image round trip on its own?).
+for OBJ in mmvae mopoe; do
+  python -m mmvae_tpu.cli train --config mnist --workdir $RUNS/mnist_$OBJ \
+      --epochs 100 --train-size 20000 --objective $OBJ
+  python tools/quality_check.py mnist $RUNS/mnist_$OBJ
+  python -m mmvae_tpu.cli train --config multimnist \
+      --workdir $RUNS/multimnist_$OBJ --config-file tools/mm_$OBJ.json
+  python tools/quality_check.py multimnist $RUNS/multimnist_$OBJ
+done
