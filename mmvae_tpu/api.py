@@ -369,6 +369,7 @@ def train(
             config, "cycle_render_binarize", False
         ),
         objective=getattr(config, "objective", "mvae"),
+        mvtcae_alpha=getattr(config, "mvtcae_alpha", 0.9),
     )
     n_mesh_devices = 1 if mesh is None else int(mesh.devices.size)
     # The in-program shuffle+gather fast path composes with the DP mesh
@@ -453,6 +454,7 @@ def train(
     evaluate = _make_split_evaluator(
         model, test_ds, config.batch_size,
         objective=getattr(config, "objective", "mvae"),
+        mvtcae_alpha=getattr(config, "mvtcae_alpha", 0.9),
     )
 
     history: list[dict[str, float]] = []
@@ -692,11 +694,13 @@ def eval_elbo(
     return _make_split_evaluator(
         model, dataset, batch_size or config.batch_size,
         objective=getattr(config, "objective", "mvae"),
+        mvtcae_alpha=getattr(config, "mvtcae_alpha", 0.9),
     )(params)
 
 
 def _make_split_evaluator(
-    model, dataset, batch_size: int, objective: str = "mvae"
+    model, dataset, batch_size: int, objective: str = "mvae",
+    mvtcae_alpha: float = 0.9,
 ):
     """Padded whole-split ELBO evaluator with the split pre-stacked ONCE.
 
@@ -713,7 +717,7 @@ def _make_split_evaluator(
         valid[..., None]
         * jnp.ones((model.n_modalities,), valid.dtype)
     )
-    runner = _eval_runner(model, objective)
+    runner = _eval_runner(model, objective, mvtcae_alpha)
 
     def evaluate(params) -> float:
         ms = runner(params, batches)
@@ -821,11 +825,13 @@ def _memo_runner(cache: dict, key, make: Callable) -> Callable:
     return runner
 
 
-def _eval_runner(model, objective: str = "mvae"):
+def _eval_runner(
+    model, objective: str = "mvae", mvtcae_alpha: float = 0.9
+):
     return _memo_runner(
         _EVAL_RUNNERS,
-        (model, objective),
-        lambda: make_eval_runner(model, objective),
+        (model, objective, mvtcae_alpha),
+        lambda: make_eval_runner(model, objective, mvtcae_alpha),
     )
 
 

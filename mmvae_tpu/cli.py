@@ -44,7 +44,7 @@ def _overrides(args, config):
         "keep_epoch_ckpts", "ema_decay", "data_dtype",
         "reshuffle_every", "warmup_epochs", "lr_schedule",
         "accum_steps", "shuffle_mode", "shuffle_granularity",
-        "nan_rollback", "objective",
+        "nan_rollback", "objective", "mvtcae_alpha",
         "cross_recon_weight",
         "cross_recon_stopgrad",
         "unimodal_align_weight",
@@ -90,11 +90,17 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     pt.add_argument(
         "--objective",
-        choices=["mvae", "mmvae", "mopoe"],
+        choices=["mvae", "mmvae", "mopoe", "mvtcae"],
         help="multimodal objective family: mvae (PoE subset ELBOs, "
         "reference semantics), mmvae (mixture-of-experts posterior, "
-        "Shi et al. 2019) or mopoe (mixture of subset-PoEs, Sutter et "
-        "al. 2021); eval + generation follow the training objective",
+        "Shi et al. 2019), mopoe (mixture of subset-PoEs, Sutter et "
+        "al. 2021) or mvtcae (total-correlation VIB, Hwang et al. "
+        "2021); eval + generation follow the training objective",
+    )
+    pt.add_argument(
+        "--mvtcae-alpha", dest="mvtcae_alpha", type=float,
+        help="objective=mvtcae KL mix: (1-a)*KL(q||p) + a/M * sum_m "
+        "KL(q_joint||q_m) (default 0.9)",
     )
     pt.add_argument(
         "--p-modality-drop", dest="p_modality_drop", type=float

@@ -38,10 +38,15 @@ class ExperimentConfig:
     n_random_subsets: int = 0  # k sub-sampled modality combinations [B:5]
     objective: str = "mvae"  # multimodal training objective family:
     # "mvae" (reference: PoE joint + per-subset ELBOs, Wu & Goodman),
-    # "mmvae" (mixture-of-experts posterior, Shi et al. 2019) or
-    # "mopoe" (mixture of subset-PoEs, Sutter et al. 2021). All three
+    # "mmvae" (mixture-of-experts posterior, Shi et al. 2019),
+    # "mopoe" (mixture of subset-PoEs, Sutter et al. 2021) or
+    # "mvtcae" (total-correlation VIB, Hwang et al. 2021). All four
     # run the same fused mask-matrix program (train/step.py); eval and
     # generation follow the objective (core/mixture.py)
+    mvtcae_alpha: float = 0.9  # objective="mvtcae" KL mix: (1-a) to
+    # the prior, a spread over the per-modality reverse cross-KLs
+    # KL(q_joint || q_m) (the paper's alpha; its experiments run high
+    # values -- cross-modal quality comes from the distillation term)
     p_modality_drop: float = 0.0  # data-side modality dropout [B:5]
     grad_clip: float = 0.0  # global-norm gradient clipping (0 = off)
     cross_recon_weight: float = 1.0  # weight on CROSS recon entries

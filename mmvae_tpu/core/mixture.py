@@ -49,7 +49,7 @@ __all__ = [
     "fuse_observed_z",
 ]
 
-OBJECTIVES = ("mvae", "mmvae", "mopoe")
+OBJECTIVES = ("mvae", "mmvae", "mopoe", "mvtcae")
 
 # Past this many modalities the 2^M - 1 powerset stops being a sensible
 # compiled program (CelebA: 19 modalities -> 524287 components); the
@@ -67,8 +67,9 @@ def component_masks(objective: str, n_modalities: int) -> jnp.ndarray:
       ``M <= 8``; ``{joint} + {unimodal}`` rows beyond that (see
       ``_MOPOE_POWERSET_MAX``).
 
-    ``"mvae"`` has no mixture -- callers use plain PoE fusion; asking
-    for its component masks is a programming error.
+    ``"mvae"`` and ``"mvtcae"`` have no mixture -- callers use plain
+    PoE fusion; asking for their component masks is a programming
+    error.
     """
     if objective == "mmvae":
         return jnp.eye(n_modalities, dtype=jnp.float32)
@@ -149,12 +150,15 @@ def fuse_observed_z(
 ):
     """One-stop posterior draw for generation/serving, objective-aware.
 
-    ``"mvae"``: PoE of the observed experts (+ prior), then
-    reparameterize -- bit-identical to the historical generate path.
+    ``"mvae"`` / ``"mvtcae"``: PoE of the observed experts (+ prior),
+    then reparameterize -- bit-identical to the historical generate
+    path (MVTCAE's inference posterior IS the PoE; its alpha cross-KLs
+    are a training-time distillation that makes the unimodal reads
+    agree with it, Hwang et al. 2021).
     ``"mmvae"`` / ``"mopoe"``: the corresponding mixture (see
     ``component_masks``). Returns ``z`` of shape ``(B, L)``.
     """
-    if objective == "mvae":
+    if objective in ("mvae", "mvtcae"):
         mu, logvar = product_of_experts(mu_e, lv_e, mask=presence)
         return reparameterize(rng, mu, logvar, sample=sample)
     comp = component_masks(objective, mu_e.shape[-2])

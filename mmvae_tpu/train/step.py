@@ -41,7 +41,11 @@ from mmvae_tpu.core import (
     random_subset_masks,
     reparameterize,
 )
-from mmvae_tpu.core.mixture import _MOPOE_POWERSET_MAX, component_masks
+from mmvae_tpu.core.mixture import (
+    _MOPOE_POWERSET_MAX,
+    component_masks,
+    posterior_components,
+)
 from mmvae_tpu.core.poe import product_of_experts
 from mmvae_tpu.ops import kl_std_normal
 
@@ -190,6 +194,7 @@ def multi_term_loss(
     cycle_contrast_weight: float = 0.0,
     cycle_render_binarize: bool = False,
     objective: str = "mvae",
+    mvtcae_alpha: float = 0.9,
     mesh=None,
     term_fold: str = "b",
 ):
@@ -214,6 +219,22 @@ def multi_term_loss(
         reconstructed from each, terms averaged (1/(2^M - 1)); past 8
         modalities the term family falls back to {joint} + {unimodal}
         (see ``core.mixture._MOPOE_POWERSET_MAX``).
+      * ``"mvtcae"`` (total-correlation VIB, Hwang et al. 2021): ONE
+        decoded term — the joint PoE posterior reconstructs every
+        modality — and the KL becomes the convex mix
+        ``(1 - a) * KL(q_joint || p) + (a / M) * sum_m KL(q_joint ||
+        q_m)`` with ``a = mvtcae_alpha``. The reverse cross-KLs distill
+        the joint posterior into each unimodal one (both sides receive
+        gradient), which is what buys cross-modal generation at test
+        time; inference stays plain PoE of the observed experts
+        (``core.mixture.fuse_observed_z``). Framework scaling
+        convention: the paper weights each recon term 1/M; here recon
+        keeps the per-modality ``lambdas`` weighting (like every other
+        objective) and the 1/M is absorbed into ``beta``'s meaning —
+        within-family comparisons are unaffected. Under per-example
+        modality dropout, unobserved modalities contribute neither an
+        expert to the joint, a recon target, nor a cross-KL (their
+        masked-PoE "posterior" is the prior, which would bias the mix).
 
     The mixture KL is the standard convexity upper bound
     ``sum_k w_k KL(q_k || p)`` both papers train with — per-component
@@ -340,7 +361,7 @@ def multi_term_loss(
                 ],
                 axis=0,
             )
-    elif objective in ("mmvae", "mopoe"):
+    elif objective in ("mmvae", "mopoe", "mvtcae"):
         if (
             n_random_subsets
             or cross_recon
@@ -350,10 +371,18 @@ def multi_term_loss(
             raise ValueError(
                 "n_random_subsets/cross_recon*/unimodal_align_weight "
                 "are mvae term-structure knobs; the "
-                f"{objective!r} mixture objective already decodes "
-                "every modality from every component"
+                f"{objective!r} objective has its own cross-modal "
+                "mechanism (mixture decode-all / the alpha cross-KLs)"
             )
-        masks = component_masks(objective, n_mod)  # (K, M)
+        if objective == "mvtcae":
+            # One decoded term: the joint posterior reconstructs every
+            # modality. The cross-KL half of the objective is computed
+            # below from the per-modality unimodal posteriors (no extra
+            # decode terms -- the decode pass stays B rows, not
+            # (1+M)*B, unlike a naive mask-schedule formulation).
+            masks = jnp.ones((1, n_mod), jnp.float32)
+        else:
+            masks = component_masks(objective, n_mod)  # (K, M)
     else:
         raise ValueError(f"unknown objective {objective!r}")
     n_terms = masks.shape[0]
@@ -514,6 +543,30 @@ def multi_term_loss(
     else:
         raise ValueError(f"unknown term_fold {term_fold!r}")
 
+    mvt_mu_u = mvt_lv_u = cross_kl = None
+    if objective == "mvtcae":
+        # The alpha half of the MVTCAE KL: reverse cross-KLs
+        # ``KL(q_joint || q_m)`` for each OBSERVED modality, averaged
+        # over the observed count. ``q_m`` is the masked-PoE unimodal
+        # posterior (prior folded in) — exactly the posterior inference
+        # conditions on for single-modality generation, so the
+        # distillation target matches the test-time read. Fusion-only
+        # work on (B, M, L); no extra decode rows.
+        mvt_mu_u, mvt_lv_u, obs = posterior_components(
+            mu_e, lv_e, presence, jnp.eye(n_mod, dtype=jnp.float32)
+        )  # (B, M, L), (B, M)
+        if term_fold == "t":
+            mu_j, lv_j = fused_mu[0], fused_lv[0]  # (B, L)
+        else:  # "b" and "st" share the (B, T, L) layout
+            mu_j, lv_j = fused_mu[:, 0], fused_lv[:, 0]
+        cross_kl = kl_gauss_gauss(
+            mu_j[:, None], lv_j[:, None], mvt_mu_u, mvt_lv_u
+        )  # (B, M)
+        cross_kl = jnp.sum(cross_kl * obs, axis=-1) / jnp.maximum(
+            jnp.sum(obs, axis=-1), 1.0
+        )  # (B,)
+        kl = (1.0 - mvtcae_alpha) * kl + mvtcae_alpha * cross_kl[None]
+
     if presence is not None:
         # Unobserved modalities are not recon targets either.
         nll = nll * presence.T[None]  # (T, M, B) * (1, M, B)
@@ -569,6 +622,10 @@ def multi_term_loss(
     loss, metrics = elbo_terms(
         nll, kl, recon_masks, model.lambdas(), beta, term_weights
     )
+    if objective == "mvtcae":
+        # The combined (T=1) KL row already feeds the loss via
+        # elbo_terms; report the raw cross-KL component separately.
+        metrics = dict(metrics, cross_kl=jnp.mean(cross_kl))
     if unimodal_align_weight > 0.0:
         if term_fold == "t":
             q_mu, q_lv = fused_mu, fused_lv  # (T, B, L)
@@ -637,9 +694,22 @@ def multi_term_loss(
         cycle_ce = 0.0
         cycle_contrast = 0.0
         for s_i in seq_idx:
-            # Unimodal term of modality s (objective-dependent mask row).
-            term = _unimodal_term_row(objective, n_mod, s_i)
-            z_s = z[term] if term_fold == "t" else z[:, term]
+            if objective == "mvtcae":
+                # mvtcae decodes ONE (joint) term, so there is no
+                # unimodal mask row to index; the s-only latent the
+                # generate path conditions on is the unimodal posterior
+                # already computed for the cross-KLs — sample it.
+                z_s = reparameterize(
+                    jax.random.fold_in(rng_z, 1 + s_i),
+                    mvt_mu_u[:, s_i],
+                    mvt_lv_u[:, s_i],
+                    sample=sample,
+                )
+            else:
+                # Unimodal term of modality s (objective-dependent
+                # mask row).
+                term = _unimodal_term_row(objective, n_mod, s_i)
+                z_s = z[term] if term_fold == "t" else z[:, term]
             rendered = model.apply(render_vars, z_s, data, method="decode")
             re_batch = dict(data)
             re_batch_hard = None
@@ -735,6 +805,7 @@ def make_train_step(
     cycle_contrast_weight: float = 0.0,
     cycle_render_binarize: bool = False,
     objective: str = "mvae",
+    mvtcae_alpha: float = 0.9,
     out_state_shardings=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -766,6 +837,7 @@ def make_train_step(
         cycle_contrast_weight=cycle_contrast_weight,
         cycle_render_binarize=cycle_render_binarize,
         objective=objective,
+        mvtcae_alpha=mvtcae_alpha,
         mesh=_mesh_of(out_state_shardings),
         term_fold=term_fold,
     )
@@ -802,6 +874,7 @@ def _train_step_impl(
     cycle_contrast_weight: float = 0.0,
     cycle_render_binarize: bool = False,
     objective: str = "mvae",
+    mvtcae_alpha: float = 0.9,
     mesh=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -841,6 +914,7 @@ def _train_step_impl(
                 cycle_contrast_weight=cycle_contrast_weight,
                 cycle_render_binarize=cycle_render_binarize,
                 objective=objective,
+                mvtcae_alpha=mvtcae_alpha,
                 mesh=mesh,
                 term_fold=term_fold,
             )
@@ -872,6 +946,7 @@ def make_epoch_runner(
     cycle_contrast_weight: float = 0.0,
     cycle_render_binarize: bool = False,
     objective: str = "mvae",
+    mvtcae_alpha: float = 0.9,
     out_state_shardings=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -900,6 +975,7 @@ def make_epoch_runner(
         cycle_contrast_weight=cycle_contrast_weight,
         cycle_render_binarize=cycle_render_binarize,
         objective=objective,
+        mvtcae_alpha=mvtcae_alpha,
         mesh=_mesh_of(out_state_shardings),
         term_fold=term_fold,
     )
@@ -937,6 +1013,7 @@ def make_gather_epoch_runner(
     cycle_contrast_weight: float = 0.0,
     cycle_render_binarize: bool = False,
     objective: str = "mvae",
+    mvtcae_alpha: float = 0.9,
     reshuffle_every: int = 1,
     n_shards: int = 1,
     shuffle_mode: str = "roll",
@@ -1038,6 +1115,7 @@ def make_gather_epoch_runner(
         cycle_contrast_weight=cycle_contrast_weight,
         cycle_render_binarize=cycle_render_binarize,
         objective=objective,
+        mvtcae_alpha=mvtcae_alpha,
         term_fold=term_fold,
         mesh=mesh if term_fold == "st" else None,
     )
@@ -1287,7 +1365,9 @@ def make_gather_epoch_runner(
     return run_epoch
 
 
-def make_eval_step(model, objective: str = "mvae") -> Callable:
+def make_eval_step(
+    model, objective: str = "mvae", mvtcae_alpha: float = 0.9
+) -> Callable:
     """Jitted eval step: full ELBO, beta=1, z=mu (SURVEY.md 3c).
 
     ``objective`` selects the eval-time term family so the test metric
@@ -1308,6 +1388,7 @@ def make_eval_step(model, objective: str = "mvae") -> Callable:
             n_random_subsets=0,
             sample=False,
             objective=objective,
+            mvtcae_alpha=mvtcae_alpha,
             term_fold="t",
         )
         return metrics
@@ -1315,7 +1396,9 @@ def make_eval_step(model, objective: str = "mvae") -> Callable:
     return eval_step
 
 
-def make_eval_runner(model, objective: str = "mvae") -> Callable:
+def make_eval_runner(
+    model, objective: str = "mvae", mvtcae_alpha: float = 0.9
+) -> Callable:
     """Scan-fused eval over pre-stacked ``(n_batches, B, ...)`` data:
     one dispatch + one host fetch for the whole split (the eval-side
     twin of ``make_epoch_runner``). Returns per-batch stacked metrics."""
@@ -1332,6 +1415,7 @@ def make_eval_runner(model, objective: str = "mvae") -> Callable:
                 n_random_subsets=0,
                 sample=False,
                 objective=objective,
+                mvtcae_alpha=mvtcae_alpha,
                 term_fold="t",
             )
             return None, metrics

@@ -489,3 +489,46 @@ def test_dynamic_batch_export_conv(celeba_model_and_params, tmp_path):
         }
         out = call(batch, np.zeros((n, 19), np.float32), seed=0)
         assert np.asarray(out["image"]).shape == (n, 16, 16, 3)
+
+
+def test_export_mvtcae_objective_poe_inference(
+    model_and_params, tmp_path
+):
+    """objective="mvtcae" exports record the objective but serve the
+    plain PoE posterior (MVTCAE's inference family): deterministic
+    outputs are bit-identical to the mvae artifact's, and they match
+    api.generate under the mvtcae config."""
+    config, model, params = model_and_params
+    cfg = config.replace(objective="mvtcae", mvtcae_alpha=0.8)
+    path = str(tmp_path / "mnist_mvtcae.mmvaexp")
+    serving.export_generate(
+        cfg, path, batch_size=4, params=params, model=model,
+        platforms=("cpu",),
+    )
+    meta, call = serving.load_generate(path)
+    assert meta["objective"] == "mvtcae"
+
+    batch = {
+        k: np.asarray(v) for k, v in model.dummy_batch(4).items()
+    }
+    batch["label"] = np.asarray([0, 1, 2, 3])
+    presence = np.asarray([[0.0, 1.0]] * 4, np.float32)
+    out = call(batch, presence, seed=0, temperature=1.0)
+    ref = api.generate(
+        cfg, {"label": np.asarray([0, 1, 2, 3])},
+        model=model, params=params,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["image"]), np.asarray(ref["image"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    mvae_path = str(tmp_path / "mnist_mvae_ref.mmvaexp")
+    serving.export_generate(
+        config, mvae_path, batch_size=4, params=params, model=model,
+        platforms=("cpu",),
+    )
+    _, call_mvae = serving.load_generate(mvae_path)
+    out_mvae = call_mvae(batch, presence, seed=0, temperature=1.0)
+    np.testing.assert_array_equal(
+        np.asarray(out["image"]), np.asarray(out_mvae["image"])
+    )

@@ -55,3 +55,8 @@ for OBJ in mmvae mopoe; do
       --workdir $RUNS/multimnist_$OBJ --config-file tools/mm_$OBJ.json
   python tools/quality_check.py multimnist $RUNS/multimnist_$OBJ
 done
+
+# MVTCAE objective row (round 3): same mnist settings as the table.
+python -m mmvae_tpu.cli train --config mnist --workdir $RUNS/mnist_mvtcae \
+    --epochs 100 --train-size 20000 --objective mvtcae
+python tools/quality_check.py mnist $RUNS/mnist_mvtcae
