@@ -267,3 +267,43 @@ def test_train_eval_generate_roundtrip(tmp_path):
         model=result.model, params=result.state.params,
     )
     assert out["image"].shape[0] == 3
+
+
+def test_mvtcae_cycle_composes_and_matches_mvae_cycle_ce():
+    """``cycle_*`` composes with mvtcae: the s-only latent comes from
+    the unimodal posterior computed for the cross-KLs. At sample=False
+    that mean is identical to the mvae unimodal-term mean, so the
+    cycle_ce metric must MATCH the mvae run's exactly (the loss bases
+    differ -- different KL structures -- but the cycle term is the
+    same round trip)."""
+    from mmvae_tpu.data import load_dataset
+    from mmvae_tpu.models import MultiMnistMVAE
+    from mmvae_tpu.train import create_train_state
+
+    model = MultiMnistMVAE(
+        n_latents=8, conv_features=(4, 8), text_embed=8, text_hidden=16
+    )
+    ds = load_dataset("multimnist", n=16, seed=0)
+    state = create_train_state(
+        model, ds.arrays, jax.random.key(0), 1e-3
+    )
+    rng = jax.random.key(3)
+
+    def run(objective, w):
+        return multi_term_loss(
+            model, state.params, ds.arrays, rng, beta=0.5,
+            term_fold="t", cycle_weight=w, sample=False,
+            objective=objective,
+        )
+
+    base, m0 = run("mvtcae", 0.0)
+    assert "cycle_ce" not in m0
+    loss_w, m = run("mvtcae", 2.0)
+    np.testing.assert_allclose(
+        float(loss_w), float(base) + 2.0 * float(m["cycle_ce"]),
+        rtol=1e-6,
+    )
+    _, m_mvae = run("mvae", 1.0)
+    np.testing.assert_allclose(
+        float(m["cycle_ce"]), float(m_mvae["cycle_ce"]), rtol=1e-5
+    )
