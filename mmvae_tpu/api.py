@@ -370,6 +370,7 @@ def train(
         ),
         objective=getattr(config, "objective", "mvae"),
         mvtcae_alpha=getattr(config, "mvtcae_alpha", 0.9),
+        member_prune=getattr(config, "member_prune", True),
     )
     n_mesh_devices = 1 if mesh is None else int(mesh.devices.size)
     # The in-program shuffle+gather fast path composes with the DP mesh
@@ -455,6 +456,7 @@ def train(
         model, test_ds, config.batch_size,
         objective=getattr(config, "objective", "mvae"),
         mvtcae_alpha=getattr(config, "mvtcae_alpha", 0.9),
+        member_prune=getattr(config, "member_prune", True),
     )
 
     history: list[dict[str, float]] = []
@@ -695,12 +697,13 @@ def eval_elbo(
         model, dataset, batch_size or config.batch_size,
         objective=getattr(config, "objective", "mvae"),
         mvtcae_alpha=getattr(config, "mvtcae_alpha", 0.9),
+        member_prune=getattr(config, "member_prune", True),
     )(params)
 
 
 def _make_split_evaluator(
     model, dataset, batch_size: int, objective: str = "mvae",
-    mvtcae_alpha: float = 0.9,
+    mvtcae_alpha: float = 0.9, member_prune: bool = True,
 ):
     """Padded whole-split ELBO evaluator with the split pre-stacked ONCE.
 
@@ -717,7 +720,7 @@ def _make_split_evaluator(
         valid[..., None]
         * jnp.ones((model.n_modalities,), valid.dtype)
     )
-    runner = _eval_runner(model, objective, mvtcae_alpha)
+    runner = _eval_runner(model, objective, mvtcae_alpha, member_prune)
 
     def evaluate(params) -> float:
         ms = runner(params, batches)
@@ -826,12 +829,17 @@ def _memo_runner(cache: dict, key, make: Callable) -> Callable:
 
 
 def _eval_runner(
-    model, objective: str = "mvae", mvtcae_alpha: float = 0.9
+    model,
+    objective: str = "mvae",
+    mvtcae_alpha: float = 0.9,
+    member_prune: bool = True,
 ):
     return _memo_runner(
         _EVAL_RUNNERS,
-        (model, objective, mvtcae_alpha),
-        lambda: make_eval_runner(model, objective, mvtcae_alpha),
+        (model, objective, mvtcae_alpha, member_prune),
+        lambda: make_eval_runner(
+            model, objective, mvtcae_alpha, member_prune
+        ),
     )
 
 

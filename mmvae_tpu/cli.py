@@ -326,6 +326,7 @@ def main(argv=None) -> int:
         if base is not None and base.name != args.config:
             base = None
     config = base or get_config(args.config)
+    explicit: set[str] = set()
     if getattr(args, "config_file", None):
         from mmvae_tpu.api import _tuplify
 
@@ -336,7 +337,34 @@ def main(argv=None) -> int:
             if kw_field in overrides:
                 overrides[kw_field] = _tuplify(overrides[kw_field])
         config = config.replace(**overrides)
+        explicit |= set(overrides)
     config = _overrides(args, config)
+
+    # Choosing a non-mvae objective on a config whose DEFAULTS carry
+    # mvae-only term knobs (celeba's n_random_subsets=4, cub's
+    # cross_recon) should not trip the step guard: clear any knob the
+    # user did not EXPLICITLY set (flag or config file). Explicit
+    # conflicts still reach multi_term_loss's ValueError.
+    if getattr(config, "objective", "mvae") != "mvae":
+        inert = {}
+        for field, v0 in (
+            ("n_random_subsets", 0),
+            ("cross_recon", False),
+            ("cross_recon_stopgrad", False),
+            ("unimodal_align_weight", 0.0),
+        ):
+            if (
+                field not in explicit
+                and getattr(args, field, None) is None
+                and getattr(config, field) != v0
+            ):
+                inert[field] = v0
+        if inert:
+            print(
+                f"[{config.name}] objective={config.objective}: "
+                f"clearing mvae-only defaults {sorted(inert)}"
+            )
+            config = config.replace(**inert)
 
     if args.cmd == "train":
         result = api.train(

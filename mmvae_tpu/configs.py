@@ -47,6 +47,11 @@ class ExperimentConfig:
     # the prior, a spread over the per-modality reverse cross-KLs
     # KL(q_joint || q_m) (the paper's alpha; its experiments run high
     # values -- cross-modal quality comes from the distillation term)
+    member_prune: bool = True  # mvae-without-cross-recon only: decode
+    # each decode key on its possibly-member term rows instead of all
+    # T rows (identical loss/grads, parity-tested -- the zeroed decode
+    # work is unprunable by XLA because the mask matrix is traced).
+    # Escape hatch; measured on the v5e in BASELINE.md
     p_modality_drop: float = 0.0  # data-side modality dropout [B:5]
     grad_clip: float = 0.0  # global-norm gradient clipping (0 = off)
     cross_recon_weight: float = 1.0  # weight on CROSS recon entries

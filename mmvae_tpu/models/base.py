@@ -84,6 +84,33 @@ class MVAEBase(nn.Module):
         (``tools/serve.py``)."""
         return {s.name: [s.name] for s in self.specs()}
 
+    # ---- per-key decode (member-only term pruning, train/step.py) ----
+    #
+    # The mvae objective's subset terms reconstruct only their OWN
+    # modalities, but the fused decode-all pass runs every decoder on
+    # every term row and multiplies non-member entries by zero — on
+    # CelebA that is ~4/24 useful image-decoder rows. Models that
+    # implement the trio below let the train step decode each decode
+    # key only on the term rows where one of its modalities is a
+    # member (see ``multi_term_loss(member_prune=...)``).
+
+    def decode_key_modalities(self) -> dict[str, list[int]] | None:
+        """Map decode-dict keys -> the modality indices they cover, or
+        None when the model does not support per-key decode (the train
+        step then keeps the decode-all pass)."""
+        return None
+
+    def decode_one(self, key: str, z, batch: dict[str, Any] | None = None):
+        """Decode ONLY the given decode-dict key from ``z`` (same value
+        ``decode(z, batch)[key]`` would produce)."""
+        raise NotImplementedError
+
+    def nll_one(self, key: str, recon, batch: dict[str, Any]):
+        """Per-example NLL rows for the modalities ``key`` covers,
+        shape ``(len(decode_key_modalities()[key]), N)`` — the matching
+        rows of ``nll_all``."""
+        raise NotImplementedError
+
     @property
     def n_modalities(self) -> int:
         return len(self.specs())

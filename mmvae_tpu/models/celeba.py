@@ -90,6 +90,28 @@ class CelebAMVAE(MVAEBase):
             [img[None], attrs.swapaxes(0, 1)], axis=0
         )  # (19, N)
 
+    def decode_key_modalities(self):
+        return {
+            "image": [0],
+            "attrs": list(range(1, 1 + self.n_attrs)),
+        }
+
+    def decode_one(self, key, z, batch=None):
+        if key == "image":
+            return self.image_dec(z)
+        assert key == "attrs"
+        return self.attr_dec(z)
+
+    def nll_one(self, key, recon, batch):
+        if key == "image":
+            return bernoulli_nll(
+                recon, batch["image"], event_ndims=3
+            )[None]
+        assert key == "attrs"
+        return bernoulli_nll(
+            recon, batch["attrs"], event_ndims=0
+        ).swapaxes(0, 1)
+
     def dummy_batch(self, n):
         return {
             "image": jnp.zeros(

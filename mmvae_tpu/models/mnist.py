@@ -56,6 +56,21 @@ class MnistMVAE(MVAEBase):
         lab = categorical_nll(recons["label"], batch["label"])
         return jnp.stack([img, lab], axis=0)  # (M=2, N)
 
+    def decode_key_modalities(self):
+        return {"image": [0], "label": [1]}
+
+    def decode_one(self, key, z, batch=None):
+        if key == "image":
+            return self.image_dec(z)
+        assert key == "label"
+        return self.label_dec(z)
+
+    def nll_one(self, key, recon, batch):
+        if key == "image":
+            return bernoulli_nll(recon, batch["image"], event_ndims=2)[None]
+        assert key == "label"
+        return categorical_nll(recon, batch["label"])[None]
+
     def dummy_batch(self, n):
         return {
             "image": jnp.zeros((n,) + tuple(self.image_hw), jnp.float32),

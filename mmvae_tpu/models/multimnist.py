@@ -108,6 +108,23 @@ class MultiMnistMVAE(MVAEBase):
         txt = masked_seq_ce(recons["text"], batch["text"])
         return jnp.stack([img, txt], axis=0)
 
+    def decode_key_modalities(self):
+        return {"image": [0], "text": [1]}
+
+    def decode_one(self, key, z, batch=None):
+        if key == "image":
+            return self.image_dec(z)
+        assert key == "text"
+        return self.text_dec(z, batch["text"])  # teacher-forced
+
+    def nll_one(self, key, recon, batch):
+        if key == "image":
+            return bernoulli_nll(
+                recon, batch["image"], event_ndims=2
+            )[None]
+        assert key == "text"
+        return masked_seq_ce(recon, batch["text"])[None]
+
     def dummy_batch(self, n):
         return {
             "image": jnp.zeros((n,) + tuple(self.image_hw), jnp.float32),

@@ -161,6 +161,105 @@ def _unimodal_term_row(objective: str, n_mod: int, m_i: int) -> int:
     return 1 + m_i
 
 
+def _member_prune_keys(model, n_mod: int, n_terms: int):
+    """Static per-decode-key member term rows under the mvae mask layout.
+
+    The mvae objective's subset terms reconstruct only their OWN
+    modalities (``recon_masks = masks``), yet the decode-all pass runs
+    every decoder on every term row and multiplies non-member entries
+    by zero — ~20/24 of the CelebA image-decoder rows are dead weight,
+    and XLA cannot DCE them because the mask matrix is traced (the
+    random-subset rows depend on the step rng). With the static mask
+    layout (row 0 = joint, rows 1..M = unimodal, rows 1+M.. = random),
+    decode key k's possibly-member rows are exactly: the joint row, its
+    own modalities' unimodal rows, and every random row (membership
+    unknown at trace time). Returns ``{key: (rows, modality_indices)}``
+    or None when the model has no per-key decode support.
+    """
+    km = model.decode_key_modalities()
+    if km is None:
+        return None
+    n_static = 1 + n_mod
+    return {
+        key: (
+            [0]
+            + [1 + m for m in mods]
+            + list(range(n_static, n_terms)),
+            list(mods),
+        )
+        for key, mods in km.items()
+    }
+
+
+def _pruned_nll(
+    model, vs, z, data, prune_keys, seq_names, layout: str, mesh=None
+):
+    """Member-only decode+NLL pass (see ``_member_prune_keys``).
+
+    ``layout``:
+      * ``"t"``: z is (T, B, L); returns (T, M, B) — t-major per-key
+        fold, targets tiled (fused broadcast) like the "t" term_fold.
+      * ``"b"``: z is (B, T, L); returns (T, M, B) — b-major per-key
+        fold, targets UNTILED (the ops-layer maps term-tiled rows onto
+        one copy, inferring the per-key fold factor from the shapes).
+      * ``"st_local"``: z is (b_loc, T, L) shard-local; returns
+        (M, T, b_loc) — the shard_map-internal t-major fold.
+
+    Every entry outside a key's member rows stays exactly 0 — and its
+    recon mask is 0 there too, so loss, gradients, and metrics are
+    bit-comparable to the decode-all pass (parity-tested).
+    """
+    import numpy as np
+
+    b = z.shape[1] if layout == "t" else z.shape[0]
+    out = None
+    for key, (rows, mods) in prune_keys.items():
+        tk = len(rows)
+        ridx = jnp.asarray(rows)
+        if layout == "t":
+            z_k = z[ridx].reshape((tk * b, -1))
+        elif layout == "b":
+            z_k = z[:, ridx].reshape((b * tk, -1))
+        else:  # st_local: t-major local fold
+            z_k = z[:, ridx].swapaxes(0, 1).reshape((tk * b, -1))
+        if mesh is not None:
+            z_k = _constrain_rows(z_k, mesh)
+        tile = _tile_terms if layout == "b" else _tile_terms_tmajor
+        db = (
+            tile({n: data[n] for n in seq_names}, tk)
+            if seq_names
+            else None
+        )
+        recon = model.apply(vs, key, z_k, db, method="decode_one")
+        if mesh is not None:
+            recon = _constrain_rows(recon, mesh)
+        targets = data if layout == "b" else tile(data, tk)
+        nll_k = model.apply(
+            vs, key, recon, targets, method="nll_one"
+        )  # (M_k, tk*b) in the fold's row order
+        if layout == "b":
+            val = nll_k.reshape((len(mods), b, tk)).transpose(2, 0, 1)
+        else:
+            val = nll_k.reshape((len(mods), tk, b))
+            if layout == "t":
+                val = val.swapaxes(0, 1)  # (tk, M_k, b)
+        if out is None:
+            n_terms = z.shape[0] if layout == "t" else z.shape[1]
+            shape = (
+                (model.n_modalities, n_terms, b)
+                if layout == "st_local"
+                else (n_terms, model.n_modalities, b)
+            )
+            out = jnp.zeros(shape, nll_k.dtype)
+        r = np.asarray(rows)
+        m = np.asarray(mods)
+        if layout == "st_local":
+            out = out.at[m[:, None], r[None, :]].set(val)
+        else:
+            out = out.at[r[:, None], m[None, :]].set(val)
+    return out
+
+
 def _sg_decoder_params(params):
     """Copy of ``params`` with every decoder subtree stop-gradiented.
 
@@ -195,10 +294,21 @@ def multi_term_loss(
     cycle_render_binarize: bool = False,
     objective: str = "mvae",
     mvtcae_alpha: float = 0.9,
+    member_prune: bool = True,
     mesh=None,
     term_fold: str = "b",
 ):
     """Total multi-term ELBO loss (batch mean) + per-term metrics.
+
+    ``member_prune`` (default on): under the mvae objective WITHOUT
+    cross_recon, decode each decode key only on its possibly-member
+    term rows instead of all T rows (see ``_member_prune_keys`` — the
+    non-member entries were zeroed by the recon masks anyway, but XLA
+    cannot DCE the decode work because the mask matrix is traced).
+    Bit-comparable loss/gradients/metrics (parity-tested); the CelebA
+    image decoder drops from 24 to 6 term rows. Off = the decode-all
+    pass (also used automatically for cross_recon/mixtures/mvtcae,
+    where every modality IS a target of every term).
 
     ``objective`` selects the multimodal training objective — all three
     run through the SAME fused mask-matrix program, differing only in
@@ -394,6 +504,11 @@ def multi_term_loss(
     mu_e, lv_e = model.apply(variables, data, method="encode")  # (B, M, L)
     batch_size = mu_e.shape[0]
     seq_names = [s.name for s in model.specs() if s.kind == "seq"]
+    prune_keys = (
+        _member_prune_keys(model, n_mod, n_terms)
+        if member_prune and objective == "mvae" and not cross_recon
+        else None
+    )
 
     if term_fold == "t":
         # T-MAJOR single-device fast path: the term axis leads, so every
@@ -420,16 +535,25 @@ def multi_term_loss(
             tile_t({k: data[k] for k in seq_names}) if seq_names else None
         )
 
-        def nll_of(vs):
-            recons = model.apply(
-                vs, z_flat, decode_batch, method="decode"
-            )
-            nll_flat = model.apply(
-                vs, recons, tile_t(data), method="nll_all"
-            )  # (M, T*B) t-major rows
-            return nll_flat.reshape(
-                (n_mod, n_terms, batch_size)
-            ).swapaxes(0, 1)
+        if prune_keys is not None:
+
+            def nll_of(vs):
+                return _pruned_nll(
+                    model, vs, z, data, prune_keys, seq_names, "t"
+                )
+
+        else:
+
+            def nll_of(vs):
+                recons = model.apply(
+                    vs, z_flat, decode_batch, method="decode"
+                )
+                nll_flat = model.apply(
+                    vs, recons, tile_t(data), method="nll_all"
+                )  # (M, T*B) t-major rows
+                return nll_flat.reshape(
+                    (n_mod, n_terms, batch_size)
+                ).swapaxes(0, 1)
 
         nll = nll_of(variables)
         kl = kl_std_normal(fused_mu, fused_lv)  # (T, B)
@@ -461,18 +585,28 @@ def multi_term_loss(
         if mesh is not None:
             z_flat = _constrain_rows(z_flat, mesh)
 
-        def nll_of(vs):
-            recons = model.apply(
-                vs, z_flat, decode_batch, method="decode"
-            )
-            if mesh is not None:
-                recons = _constrain_rows(recons, mesh)
-            nll_flat = model.apply(
-                vs, recons, data, method="nll_all"
-            )  # (M, B*T) b-major rows
-            return nll_flat.reshape(
-                (n_mod, batch_size, n_terms)
-            ).transpose(2, 0, 1)
+        if prune_keys is not None:
+
+            def nll_of(vs):
+                return _pruned_nll(
+                    model, vs, z, data, prune_keys, seq_names, "b",
+                    mesh=mesh,
+                )
+
+        else:
+
+            def nll_of(vs):
+                recons = model.apply(
+                    vs, z_flat, decode_batch, method="decode"
+                )
+                if mesh is not None:
+                    recons = _constrain_rows(recons, mesh)
+                nll_flat = model.apply(
+                    vs, recons, data, method="nll_all"
+                )  # (M, B*T) b-major rows
+                return nll_flat.reshape(
+                    (n_mod, batch_size, n_terms)
+                ).transpose(2, 0, 1)
 
         nll = nll_of(variables)
         kl = kl_std_normal(fused_mu, fused_lv).T  # (B, T) -> (T, B)
@@ -508,6 +642,11 @@ def multi_term_loss(
 
         def _local_nll(vs, z_loc, data_loc):
             # z_loc: (b_loc, T, L) -- this shard's rows only.
+            if prune_keys is not None:
+                return _pruned_nll(
+                    model, vs, z_loc, data_loc, prune_keys, seq_names,
+                    "st_local",
+                )
             b_loc = z_loc.shape[0]
             z_flat = z_loc.swapaxes(0, 1).reshape(
                 (n_terms * b_loc, -1)
@@ -806,6 +945,7 @@ def make_train_step(
     cycle_render_binarize: bool = False,
     objective: str = "mvae",
     mvtcae_alpha: float = 0.9,
+    member_prune: bool = True,
     out_state_shardings=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -838,6 +978,7 @@ def make_train_step(
         cycle_render_binarize=cycle_render_binarize,
         objective=objective,
         mvtcae_alpha=mvtcae_alpha,
+        member_prune=member_prune,
         mesh=_mesh_of(out_state_shardings),
         term_fold=term_fold,
     )
@@ -875,6 +1016,7 @@ def _train_step_impl(
     cycle_render_binarize: bool = False,
     objective: str = "mvae",
     mvtcae_alpha: float = 0.9,
+    member_prune: bool = True,
     mesh=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -915,6 +1057,7 @@ def _train_step_impl(
                 cycle_render_binarize=cycle_render_binarize,
                 objective=objective,
                 mvtcae_alpha=mvtcae_alpha,
+                member_prune=member_prune,
                 mesh=mesh,
                 term_fold=term_fold,
             )
@@ -947,6 +1090,7 @@ def make_epoch_runner(
     cycle_render_binarize: bool = False,
     objective: str = "mvae",
     mvtcae_alpha: float = 0.9,
+    member_prune: bool = True,
     out_state_shardings=None,
     term_fold: str = "b",
 ) -> Callable:
@@ -976,6 +1120,7 @@ def make_epoch_runner(
         cycle_render_binarize=cycle_render_binarize,
         objective=objective,
         mvtcae_alpha=mvtcae_alpha,
+        member_prune=member_prune,
         mesh=_mesh_of(out_state_shardings),
         term_fold=term_fold,
     )
@@ -1014,6 +1159,7 @@ def make_gather_epoch_runner(
     cycle_render_binarize: bool = False,
     objective: str = "mvae",
     mvtcae_alpha: float = 0.9,
+    member_prune: bool = True,
     reshuffle_every: int = 1,
     n_shards: int = 1,
     shuffle_mode: str = "roll",
@@ -1116,6 +1262,7 @@ def make_gather_epoch_runner(
         cycle_render_binarize=cycle_render_binarize,
         objective=objective,
         mvtcae_alpha=mvtcae_alpha,
+        member_prune=member_prune,
         term_fold=term_fold,
         mesh=mesh if term_fold == "st" else None,
     )
@@ -1366,7 +1513,10 @@ def make_gather_epoch_runner(
 
 
 def make_eval_step(
-    model, objective: str = "mvae", mvtcae_alpha: float = 0.9
+    model,
+    objective: str = "mvae",
+    mvtcae_alpha: float = 0.9,
+    member_prune: bool = True,
 ) -> Callable:
     """Jitted eval step: full ELBO, beta=1, z=mu (SURVEY.md 3c).
 
@@ -1389,6 +1539,7 @@ def make_eval_step(
             sample=False,
             objective=objective,
             mvtcae_alpha=mvtcae_alpha,
+            member_prune=member_prune,
             term_fold="t",
         )
         return metrics
@@ -1397,7 +1548,10 @@ def make_eval_step(
 
 
 def make_eval_runner(
-    model, objective: str = "mvae", mvtcae_alpha: float = 0.9
+    model,
+    objective: str = "mvae",
+    mvtcae_alpha: float = 0.9,
+    member_prune: bool = True,
 ) -> Callable:
     """Scan-fused eval over pre-stacked ``(n_batches, B, ...)`` data:
     one dispatch + one host fetch for the whole split (the eval-side
@@ -1416,6 +1570,7 @@ def make_eval_runner(
                 sample=False,
                 objective=objective,
                 mvtcae_alpha=mvtcae_alpha,
+                member_prune=member_prune,
                 term_fold="t",
             )
             return None, metrics

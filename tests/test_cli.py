@@ -193,3 +193,42 @@ def test_cycle_render_binarize_flag_forms(tmp_path):
          "--cycle-render-binarize", "both"]
     )
     assert a2.cycle_render_binarize == "both"
+
+
+def test_mixture_objective_clears_mvae_default_knobs(tmp_path):
+    """`--objective mmvae` on a config whose DEFAULTS carry mvae-only
+    term knobs (celeba: n_random_subsets=4) must clear them instead of
+    tripping the step guard; explicitly-passed conflicts still error."""
+    wd = str(tmp_path / "mix")
+    tiny = str(tmp_path / "tiny_celeba.json")
+    with open(tiny, "w") as f:
+        json.dump(
+            {
+                "model_kwargs": {
+                    "image_hw": [8, 8],
+                    "conv_features": [4, 8],
+                },
+                "data_kwargs": {"hw": 8},
+            },
+            f,
+        )
+    rc = main([
+        "train", "--config", "celeba", "--workdir", wd,
+        "--config-file", tiny,
+        "--objective", "mmvae", "--epochs", "1", "--train-size", "8",
+        "--test-size", "8", "--batch-size", "4", "--n-latents", "8",
+        "--no-mesh",
+    ])
+    assert rc == 0
+    snap = json.load(open(os.path.join(wd, "config.json")))
+    assert snap["objective"] == "mmvae"
+    assert snap["n_random_subsets"] == 0
+
+    with pytest.raises(ValueError, match="mvae term-structure"):
+        main([
+            "train", "--config", "celeba",
+            "--workdir", str(tmp_path / "bad"),
+            "--objective", "mmvae", "--n-random-subsets", "2",
+            "--epochs", "1", "--train-size", "8", "--test-size", "8",
+            "--batch-size", "4", "--n-latents", "8", "--no-mesh",
+        ])
