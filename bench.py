@@ -220,6 +220,7 @@ def measure_jax(
     reshuffle_every: int = 1,
     shuffle_mode: str = "roll",
     shuffle_granularity: int = 1,
+    member_prune: bool = True,
 ) -> dict:
     """Samples/sec/chip (+ tflops/mfu) of the production train path: the
     lax.scan-fused epoch runner over device-resident data (what
@@ -253,6 +254,7 @@ def measure_jax(
         model, steps, batch, annealing_steps=1000,
         reshuffle_every=reshuffle_every, shuffle_mode=shuffle_mode,
         shuffle_granularity=shuffle_granularity,
+        member_prune=member_prune,
     )
     if data_dtype != "float32":
         from mmvae_tpu.data import dataset_astype
@@ -353,6 +355,7 @@ def measure_jax_celeba(
     batch: int = 64, steps: int = 50, dtype: str = "float32",
     data_dtype: str = "float32", reshuffle_every: int = 1,
     space_to_depth: int = 1, upsample_mode: str = "deconv",
+    member_prune: bool = True,
 ) -> dict:
     import numpy as np
 
@@ -382,7 +385,7 @@ def measure_jax_celeba(
     # Same in-program shuffle+gather path api.train uses.
     runner = make_gather_epoch_runner(
         model, steps, batch, n_random_subsets=4, annealing_steps=1000,
-        reshuffle_every=reshuffle_every,
+        reshuffle_every=reshuffle_every, member_prune=member_prune,
     )
     arrays = ds.arrays
     if data_dtype != "float32":
@@ -464,12 +467,12 @@ def main() -> None:
         baseline = celeba_cpu_baseline()
         ref = measure_jax_celeba()
         metric = "celeba_mvae_train_samples_per_sec_per_chip"
-        # CelebA is compute-bound at f32 (~84% MFU measured); bf16 +
-        # uint8-resident data is the best-achievable point. The uint8
-        # gain here is small but real (13853 vs 13790 bf16-resident,
-        # +0.45%, non-overlapping spreads): this point is bound by the
-        # term-tiled logits materialization + deconv weight copies, not
-        # the target reads (docs/DESIGN.md section 10).
+        # Member-only decode (round 3, DESIGN.md section 12) prunes the
+        # image decoder from 24 to 6 term rows: f32 measured 37.0k
+        # samples/s at 82% MFU of the USEFUL-work program (was 10.5k;
+        # the old "84% MFU" counted the masked-to-zero decode rows as
+        # useful flops). bf16 + uint8-resident data is the
+        # best-achievable point: 49.2k (was 13.8k).
         best = measure_jax_celeba(dtype="bfloat16", batch=256,
                                   data_dtype="uint8")
     else:
@@ -477,15 +480,9 @@ def main() -> None:
         # Reference-comparable point: f32, the reference batch size.
         ref = measure_jax()
         # Best-achievable point: bf16 compute + uint8-resident data,
-        # large batch. With f32 data the bf16 step is dominated by the
-        # stacked-batch HBM read (plateau 1.44-1.47M over batch
-        # 2048-8192); bf16 data doubles that bandwidth, uint8 data
-        # (exact for 8-bit-native images, in-program dequant) doubles
-        # it again -- measured 3.49M vs 3.17M bf16-resident (+9.9%,
-        # 33.5% bf16 MFU), ABOVE the 3.36M "pure reshape ceiling" that
-        # was itself bf16-read-bound (round 3; docs/DESIGN.md sec 10).
-        # shuffle_mode="block": zero-copy between-reshuffle epochs
-        # (measured +3.5% over roll: 3.11M vs 3.00M, round 3).
+        # large batch, block shuffle (the measured §10 ladder), plus
+        # member-only decode (§12: image decoder 3 -> 2 term rows,
+        # measured 4.02M vs 3.16M same-session, +27%).
         best = measure_jax(dtype="bfloat16", batch=4096, steps=8,
                            n_epochs=40, data_dtype="uint8",
                            reshuffle_every=8, shuffle_mode="block")

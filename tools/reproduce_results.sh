@@ -51,9 +51,27 @@ for OBJ in mmvae mopoe; do
   python -m mmvae_tpu.cli train --config mnist --workdir $RUNS/mnist_$OBJ \
       --epochs 100 --train-size 20000 --objective $OBJ
   python tools/quality_check.py mnist $RUNS/mnist_$OBJ
+done
+# MultiMNIST / CelebA / CUB objective-family rows (all three non-mvae
+# objectives; the CLI clears the configs' mvae-only default knobs --
+# n_random_subsets / cross_recon -- when the objective is not mvae).
+for OBJ in mmvae mopoe mvtcae; do
   python -m mmvae_tpu.cli train --config multimnist \
       --workdir $RUNS/multimnist_$OBJ --config-file tools/mm_$OBJ.json
   python tools/quality_check.py multimnist $RUNS/multimnist_$OBJ
+  python -m mmvae_tpu.cli train --config celeba \
+      --workdir $RUNS/celeba_$OBJ --epochs 40 --objective $OBJ
+  python tools/quality_check.py celeba $RUNS/celeba_$OBJ
+  python -m mmvae_tpu.cli train --config cub \
+      --workdir $RUNS/cub_$OBJ --config-file tools/cub_$OBJ.json
+  python tools/quality_check.py cub $RUNS/cub_$OBJ
+done
+# Cross-family-comparable marginal LL (IWAE-64) on the mnist rows
+# (the per-family "test objective value" column is NOT comparable):
+python -m mmvae_tpu.cli train --config mnist --workdir $RUNS/mnist_xr \
+    --epochs 100 --train-size 20000 --cross-recon
+for W in $RUNS/mnist_xr $RUNS/mnist_mmvae $RUNS/mnist_mopoe $RUNS/mnist_mvtcae; do
+  python -m mmvae_tpu.cli eval --config mnist --workdir $W --iwae-k 64
 done
 
 # MVTCAE objective row (round 3): same mnist settings as the table.
