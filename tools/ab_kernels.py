@@ -85,6 +85,9 @@ CASES = {
         {"kl": "pallas", "bce": "pallas", "seq_ce": "pallas"},
         {"kl": "pallas", "bce": "pallas", "seq_ce": "jnp"},
         {"kl": "pallas", "bce": "jnp", "seq_ce": "pallas"},
+        # The shipped auto combo (round-2 winner):
+        {"kl": "jnp", "bce": "jnp", "seq_ce": "pallas"},
+        {"kl": "jnp", "bce": "jnp", "seq_ce": "jnp"},
     ],
 }
 
