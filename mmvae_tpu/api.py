@@ -285,7 +285,20 @@ def train(
     if workdir is not None and primary:
         _save_run_config(workdir, config)
     model = build_model(config, dtype=dtype)
-    mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
+    tp = getattr(config, "tp", 1)
+    if tp > 1 and config.fsdp:
+        raise ValueError("tp>1 and fsdp are mutually exclusive")
+    if tp > 1:
+        if not use_mesh or len(jax.devices()) % tp or tp < 1:
+            raise ValueError(
+                f"tp={tp} needs use_mesh and a device count divisible "
+                f"by tp (have {len(jax.devices())})"
+            )
+        from mmvae_tpu.parallel import make_mesh_2d
+
+        mesh = make_mesh_2d(tp)
+    else:
+        mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
 
     train_ds = load_dataset(
         config.dataset, "train", n=config.train_size,
@@ -339,6 +352,11 @@ def train(
 
             state = fsdp_shard(state, mesh)
             out_state_shardings = state_shardings(state)
+        elif tp > 1:
+            from mmvae_tpu.parallel import state_shardings, tp_shard
+
+            state = tp_shard(state, mesh)
+            out_state_shardings = state_shardings(state)
         else:
             state = replicate(state, mesh)
 
@@ -382,6 +400,7 @@ def train(
     in_program_gather = (
         config.data_backend == "device"
         and not config.fsdp
+        and tp == 1
         and train_ds.size % max(n_mesh_devices, 1) == 0
     )
     if config.reshuffle_every > 1 and not in_program_gather:
@@ -438,10 +457,13 @@ def train(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         # Leading axis = steps (unsharded), batch axis over every mesh
-        # axis (data on 1-D meshes; (dcn, data) on multi-slice meshes).
-        stacked_sharding = NamedSharding(
-            mesh, P(None, tuple(mesh.axis_names))
+        # axis (data on 1-D meshes; (dcn, data) on multi-slice meshes)
+        # EXCEPT the TP model axis, which sees replicated batches (the
+        # model-axis work is layer-internal -- parallel/tp.py).
+        batch_axes = tuple(
+            a for a in mesh.axis_names if a != "model"
         )
+        stacked_sharding = NamedSharding(mesh, P(None, batch_axes))
 
     writer = (
         MetricsWriter(workdir)
@@ -596,6 +618,10 @@ def train(
                         from mmvae_tpu.parallel import fsdp_shard
 
                         state = fsdp_shard(state, mesh)
+                    elif tp > 1:
+                        from mmvae_tpu.parallel import tp_shard
+
+                        state = tp_shard(state, mesh)
                     else:
                         state = replicate(state, mesh)
                 restored = 0

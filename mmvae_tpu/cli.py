@@ -44,7 +44,7 @@ def _overrides(args, config):
         "keep_epoch_ckpts", "ema_decay", "data_dtype",
         "reshuffle_every", "warmup_epochs", "lr_schedule",
         "accum_steps", "shuffle_mode", "shuffle_granularity",
-        "nan_rollback", "objective", "mvtcae_alpha",
+        "nan_rollback", "objective", "mvtcae_alpha", "tp",
         "cross_recon_weight",
         "cross_recon_stopgrad",
         "unimodal_align_weight",
@@ -230,6 +230,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "--fsdp", dest="fsdp", action="store_true", default=None,
         help="shard params + optimizer state over the data mesh "
         "(ZeRO-3 via GSPMD; needs >1 device)",
+    )
+    pt.add_argument(
+        "--tp", dest="tp", type=int,
+        help="tensor parallelism: fold the devices into a 2-D "
+        "(data, model) mesh with TP-way model groups "
+        "(column/row-parallel Dense stacks; parallel/tp.py)",
     )
     pt.add_argument("--resume", action="store_true")
     pt.add_argument(

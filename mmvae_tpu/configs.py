@@ -130,6 +130,10 @@ class ExperimentConfig:
     fsdp: bool = False  # shard params + Adam moments over the data mesh
     # (ZeRO-3 via GSPMD, parallel/fsdp.py); default off -- these models
     # replicate trivially, the flag is the memory-scaling escape hatch
+    tp: int = 1  # tensor parallelism: devices fold into a 2-D
+    # (data, model) mesh with tp-way model groups -- column/row-parallel
+    # Dense stacks + expert-parallel attr banks (parallel/tp.py);
+    # mutually exclusive with fsdp, takes the pre-stacked epoch path
     model_kwargs: dict[str, Any] = dataclasses.field(default_factory=dict)
     data_kwargs: dict[str, Any] = dataclasses.field(default_factory=dict)
     # kwargs forwarded to the synthetic data generator (e.g. hw=128 for

@@ -24,6 +24,13 @@ from mmvae_tpu.parallel.multihost import (
     is_primary,
     fetch_replicated,
 )
+from mmvae_tpu.parallel.tp import (
+    make_mesh_2d,
+    tp_param_specs,
+    tp_shard,
+    tp_batch_sharding,
+    tp_shard_batch,
+)
 
 __all__ = [
     "make_mesh",
@@ -37,4 +44,9 @@ __all__ = [
     "multihost_initialize",
     "is_primary",
     "fetch_replicated",
+    "make_mesh_2d",
+    "tp_param_specs",
+    "tp_shard",
+    "tp_batch_sharding",
+    "tp_shard_batch",
 ]

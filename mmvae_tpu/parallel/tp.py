@@ -1,0 +1,220 @@
+"""Tensor parallelism (Megatron-style) over a 2-D ``(data, model)`` mesh.
+
+The reference owes only DP (SURVEY.md §2.15 — it is single-device
+PyTorch with no distributed surface at all); TP is the rebuild's
+width-scaling extension, the second half of the standard TPU 2-D mesh
+recipe: batch sharded over the ``data`` axis, expert WIDTH sharded over
+the ``model`` axis. Everything is pure GSPMD — the alternating
+column/row-parallel kernel layouts below make XLA emit exactly one
+``psum`` over the model axis per MLP stack; there are no hand-written
+collectives anywhere.
+
+Layout rules (``tp_param_specs``):
+
+* **Dense stacks** inside each expert module alternate column-parallel
+  (kernel ``P(None, "model")``, bias ``P("model")``) and row-parallel
+  (kernel ``P("model", None)``, bias ``P()``) in index order. A stack
+  with an ODD number of shardable Dense layers replicates its last one,
+  so expert outputs (posterior params / logits) leave the stack
+  replicated instead of paying an all-gather into the fusion / NLL ops.
+* **Attribute banks** (CelebA: modules whose every leaf carries the
+  same leading bank axis, e.g. 18 attrs) shard the bank axis — expert
+  parallelism: each model-group owns ``18/tp`` attribute experts
+  end-to-end with zero collectives inside the bank (the vmapped einsum
+  is elementwise in the bank axis).
+* **Everything else replicates**: conv/deconv kernels (the image
+  stacks at these widths lose more to halo/reshard than they gain —
+  DP/FSDP cover them), GRU cells, embeddings, scalars, and any kernel
+  whose dim does not divide the model axis.
+
+Correctness is layout-independent (GSPMD inserts whatever resharding a
+legal-but-slow assignment needs); the parity tests in tests/test_tp.py
+pin the TP step to the single-device step, and the layout tests pin
+that the intended kernels actually shard and STAY sharded through the
+update (``out_state_shardings``, same mechanism as FSDP).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh_2d",
+    "tp_param_specs",
+    "tp_shard",
+    "tp_batch_sharding",
+    "tp_shard_batch",
+]
+
+_DENSE = re.compile(r"^Dense_(\d+)$")
+
+
+def make_mesh_2d(
+    tp: int,
+    devices=None,
+    data_axis: str = "data",
+    model_axis: str = "model",
+) -> Mesh:
+    """``(data, model)`` mesh: ``len(devices)/tp`` data groups × ``tp``.
+
+    Device order follows ``jax.devices()`` with the model axis minor —
+    on a real slice, adjacent device ids are ICI neighbours, so the
+    per-layer psum of TP (latency-sensitive, every matmul) rides the
+    shortest links while the once-per-step DP gradient psum takes the
+    longer hops.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    if tp < 1 or len(devices) % tp:
+        raise ValueError(f"{len(devices)} devices not divisible by tp={tp}")
+    grid = devices.reshape(len(devices) // tp, tp)
+    return Mesh(grid, (data_axis, model_axis))
+
+
+def _is_bank(module: dict, n_shards: int) -> bool:
+    """Bank module: every leaf is an array sharing one leading axis that
+    divides the model axis (CelebA's 18-attr expert banks)."""
+    leaves = list(module.values())
+    if not leaves or any(isinstance(v, dict) for v in leaves):
+        return False
+    dims = {getattr(v, "shape", ())[:1] for v in leaves}
+    if len(dims) != 1:
+        return False
+    (lead,) = dims.pop() or (0,)
+    return lead > 1 and lead % n_shards == 0
+
+
+def _dense_specs(module: dict, n_shards: int, axis: str) -> dict:
+    """Alternating column/row specs for the Dense_* layers of one module."""
+    specs = {
+        name: jax.tree.map(lambda _: P(), child)
+        for name, child in module.items()
+    }
+    dense = sorted(
+        (int(m.group(1)), name)
+        for name, child in module.items()
+        if (m := _DENSE.match(name))
+        and isinstance(child, dict)
+        and getattr(child.get("kernel"), "ndim", 0) == 2
+    )
+    # Walk in index order, assigning col/row/col/...; a layer whose
+    # needed dim does not divide replicates and the pattern continues
+    # on the next layer.
+    specs_list: list[tuple[str, str]] = []
+    want_col = True
+    for _, name in dense:
+        kern = module[name]["kernel"]
+        dim = kern.shape[1] if want_col else kern.shape[0]
+        if dim % n_shards == 0:
+            specs_list.append((name, "col" if want_col else "row"))
+            want_col = not want_col
+        else:
+            specs_list.append((name, "rep"))
+    # Odd stack: the last sharded layer would leave the module output
+    # sharded on the model axis — replicate it instead so the stack's
+    # output (posterior params / logits) is replicated.
+    if specs_list and specs_list[-1][1] == "col":
+        specs_list[-1] = (specs_list[-1][0], "rep")
+    for name, kind in specs_list:
+        if kind == "col":
+            specs[name] = {"kernel": P(None, axis), "bias": P(axis)}
+        elif kind == "row":
+            specs[name] = {"kernel": P(axis, None), "bias": P()}
+    return specs
+
+
+def tp_param_specs(
+    params: dict, n_shards: int, model_axis: str = "model"
+) -> dict:
+    """PartitionSpec tree (same structure as ``params``) per the layout
+    rules in the module docstring."""
+    specs: dict = {}
+    for mod_name, module in params.items():
+        if not isinstance(module, dict):
+            specs[mod_name] = P()
+        elif _is_bank(module, n_shards):
+            specs[mod_name] = {
+                name: P(*([model_axis] + [None] * (leaf.ndim - 1)))
+                for name, leaf in module.items()
+            }
+        else:
+            specs[mod_name] = _dense_specs(module, n_shards, model_axis)
+    return specs
+
+
+def _flatten_with_names(tree) -> list[tuple[tuple[str, ...], Any]]:
+    out = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        names = []
+        for k in path:
+            if hasattr(k, "key"):
+                names.append(str(k.key))
+            elif hasattr(k, "name"):
+                names.append(str(k.name))
+            elif hasattr(k, "idx"):
+                names.append(str(k.idx))
+            else:
+                names.append(str(k))
+        out.append((tuple(names), leaf))
+    return out
+
+
+def tp_shard(
+    tree: Any,
+    mesh: Mesh,
+    *,
+    params: dict | None = None,
+    model_axis: str = "model",
+) -> Any:
+    """Place a PyTree (params or a full ``TrainState``) with TP layouts.
+
+    The spec for each leaf is looked up by PATH SUFFIX against the
+    params tree (``state.params`` by default), so the Adam moments —
+    whose subtrees mirror the params structure — shard identically to
+    their params; scalars (step counter, rng key) and unmatched leaves
+    replicate. Multi-host staging goes through ``mesh._put`` exactly
+    like DP/FSDP placement.
+    """
+    if params is None:
+        params = getattr(tree, "params", tree)
+    n_shards = mesh.shape[model_axis]
+    spec_index = _flatten_with_names(tp_param_specs(
+        params, n_shards, model_axis=model_axis
+    ))
+
+    from mmvae_tpu.parallel.mesh import _put
+
+    def place_leaf(path_names: tuple[str, ...], x):
+        spec = P()
+        for p_path, p_spec in spec_index:
+            if path_names[-len(p_path):] == p_path:
+                spec = p_spec
+                break
+        if getattr(x, "ndim", 0) < len(spec):
+            spec = P()
+        return _put(x, NamedSharding(mesh, spec))
+
+    flat = _flatten_with_names(tree)
+    placed = [place_leaf(names, leaf) for names, leaf in flat]
+    treedef = jax.tree_util.tree_structure(tree)
+    return jax.tree_util.tree_unflatten(treedef, placed)
+
+
+def tp_batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
+    """Batch sharded over the data axis ONLY — replicated across model
+    groups (every member of a model group sees the same examples; the
+    layer-internal collectives do the model-axis work)."""
+    return NamedSharding(mesh, P(data_axis))
+
+
+def tp_shard_batch(batch: dict[str, Any], mesh: Mesh) -> dict[str, Any]:
+    from mmvae_tpu.parallel.mesh import _put
+
+    sh = tp_batch_sharding(mesh)
+    return jax.tree.map(lambda x: _put(x, sh), batch)

@@ -1,0 +1,193 @@
+"""Tensor parallelism over a 2-D (data, model) mesh on 8 fake CPU
+devices: Megatron-style column/row-parallel Dense stacks + expert-
+parallel CelebA attribute banks (parallel/tp.py). TP-sharded training
+must match the single-device step, and the layouts must survive the
+update."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from mmvae_tpu.data import load_dataset
+from mmvae_tpu.models import CelebAMVAE, MnistMVAE
+from mmvae_tpu.parallel import (
+    make_mesh_2d,
+    state_shardings,
+    tp_param_specs,
+    tp_shard,
+    tp_shard_batch,
+)
+from mmvae_tpu.train import create_train_state, make_train_step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = MnistMVAE(n_latents=8)
+    ds = load_dataset("mnist", n=64, seed=0)
+
+    def fresh_state():
+        return create_train_state(
+            model, ds.arrays, jax.random.key(0), 1e-3
+        )
+
+    return model, ds.arrays, fresh_state
+
+
+def test_tp_spec_rules(setup):
+    model, batch, fresh_state = setup
+    params = fresh_state().params
+    specs = tp_param_specs(params, n_shards=2)
+    # 3-Dense stacks alternate col/row and replicate the (odd) last
+    # layer so the stack output leaves replicated.
+    for mod in ("image_enc", "image_dec"):
+        assert specs[mod]["Dense_0"]["kernel"] == P(None, "model")
+        assert specs[mod]["Dense_0"]["bias"] == P("model")
+        assert specs[mod]["Dense_1"]["kernel"] == P("model", None)
+        assert specs[mod]["Dense_1"]["bias"] == P()
+        assert specs[mod]["Dense_2"]["kernel"] == P()
+    # 2-Dense stacks end row-parallel: output replicated by the psum.
+    assert specs["label_dec"]["Dense_0"]["kernel"] == P(None, "model")
+    assert specs["label_dec"]["Dense_1"]["kernel"] == P("model", None)
+    # Non-Dense leaves replicate.
+    assert specs["label_enc"]["Embed_0"]["embedding"] == P()
+
+
+def test_tp_bank_specs():
+    model = CelebAMVAE(n_latents=8, image_hw=(16, 16), conv_features=(8, 16))
+    b = model.dummy_batch(2)
+    vs = model.init(jax.random.key(0), b, rng=jax.random.key(1))
+    specs = tp_param_specs(vs["params"], n_shards=2)
+    # 18-attr banks shard the bank axis (expert parallelism)...
+    assert specs["attr_enc"]["w1"] == P("model", None, None)
+    assert specs["attr_enc"]["b2"] == P("model", None)
+    assert specs["attr_dec"]["b2"] == P("model")
+    # ...conv kernels replicate.
+    assert specs["image_enc"]["Conv_0"]["kernel"] == P()
+
+
+def test_tp_indivisible_dims_replicate(setup):
+    model, batch, fresh_state = setup
+    params = fresh_state().params
+    # 7 shards divide nothing here: every spec falls back to replicated.
+    specs = tp_param_specs(params, n_shards=7)
+    assert all(s == P() for s in jax.tree.leaves(specs))
+
+
+def test_tp_state_layout(setup):
+    model, batch, fresh_state = setup
+    mesh = make_mesh_2d(tp=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    state = tp_shard(fresh_state(), mesh)
+    k = state.params["image_enc"]["Dense_0"]["kernel"]
+    assert k.sharding.spec == P(None, "model")
+    assert len(k.addressable_shards) == 8
+    assert sum(s.data.size for s in k.addressable_shards) == 4 * k.size
+    # Adam moments mirror the param layouts (suffix-path lookup).
+    mu = [
+        x.sharding.spec
+        for x in jax.tree.leaves(state.opt_state)
+        if hasattr(x, "sharding")
+    ]
+    assert P(None, "model") in mu
+    assert state.step.sharding.is_fully_replicated
+
+
+def test_tp_matches_single_device(setup):
+    model, batch, fresh_state = setup
+    mesh = make_mesh_2d(tp=2)
+
+    step = make_train_step(model, annealing_steps=10)
+    s1 = fresh_state()
+    for _ in range(3):
+        s1, m1 = step(s1, batch)
+
+    st = tp_shard(fresh_state(), mesh)
+    tstep = make_train_step(
+        model,
+        annealing_steps=10,
+        out_state_shardings=state_shardings(st),
+    )
+    sharded = tp_shard_batch(batch, mesh)
+    for _ in range(3):
+        st, mt = tstep(st, sharded)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(mt["loss"]), rtol=1e-4
+    )
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(st.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4
+        )
+    # Layouts survived the update (out_shardings pinned them).
+    assert not st.params["image_enc"]["Dense_0"][
+        "kernel"
+    ].sharding.is_fully_replicated
+
+    # The compiled step does real TP math: the column/row-parallel
+    # kernels are consumed in their sharded layout -- no all-gather of
+    # a full kernel-shaped tensor anywhere in the program.
+    txt = tstep.lower(st, sharded).compile().as_text()
+    gathered = [
+        line
+        for line in txt.splitlines()
+        if "all-gather" in line and "512,512" in line.replace(" ", "")
+    ]
+    assert not gathered, gathered[:3]
+
+
+def test_tp_celeba_bank_parity():
+    """Expert-parallel attr banks: TP step == single-device step on the
+    19-expert flagship structure (tiny image for CPU compile time)."""
+    model = CelebAMVAE(n_latents=8, image_hw=(16, 16), conv_features=(8, 16))
+    ds = load_dataset("celeba", n=16, seed=0, gen_kwargs={"hw": 16})
+    mesh = make_mesh_2d(tp=2)
+
+    def fresh():
+        return create_train_state(model, ds.arrays, jax.random.key(0), 1e-3)
+
+    step = make_train_step(model, n_random_subsets=2, annealing_steps=10)
+    s1, m1 = step(fresh(), ds.arrays)
+
+    st = tp_shard(fresh(), mesh)
+    assert st.params["attr_enc"]["w1"].sharding.spec == P(
+        "model", None, None
+    )
+    tstep = make_train_step(
+        model,
+        n_random_subsets=2,
+        annealing_steps=10,
+        out_state_shardings=state_shardings(st),
+    )
+    st, mt = tstep(st, tp_shard_batch(ds.arrays, mesh))
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(mt["loss"]), rtol=1e-4
+    )
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(st.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4
+        )
+    assert not st.params["attr_enc"]["w1"].sharding.is_fully_replicated
+
+
+def test_tp_via_api_train(tmp_path):
+    """config.tp=2 end to end: api.train folds the 8 fake devices into
+    a (4, 2) mesh, trains on the pre-stacked path with TP-sharded
+    state, evaluates, and checkpoints."""
+    from mmvae_tpu import api
+    from mmvae_tpu.configs import get_config
+
+    cfg = get_config("mnist").replace(
+        n_latents=8, epochs=2, batch_size=32, train_size=64,
+        test_size=32, annealing_epochs=1, tp=2,
+    )
+    result = api.train(cfg, str(tmp_path), verbose=False)
+    assert np.isfinite(result.best_test_elbo)
+    k = result.state.params["image_enc"]["Dense_0"]["kernel"]
+    assert k.sharding.spec == P(None, "model")
+    # fsdp + tp is rejected loudly.
+    with pytest.raises(ValueError):
+        api.train(
+            cfg.replace(fsdp=True), None, verbose=False
+        )
