@@ -286,10 +286,12 @@ def train(
         _save_run_config(workdir, config)
     model = build_model(config, dtype=dtype)
     tp = getattr(config, "tp", 1)
+    if tp < 1:
+        raise ValueError(f"tp must be >= 1, got {tp}")
     if tp > 1 and config.fsdp:
         raise ValueError("tp>1 and fsdp are mutually exclusive")
     if tp > 1:
-        if not use_mesh or len(jax.devices()) % tp or tp < 1:
+        if not use_mesh or len(jax.devices()) % tp:
             raise ValueError(
                 f"tp={tp} needs use_mesh and a device count divisible "
                 f"by tp (have {len(jax.devices())})"

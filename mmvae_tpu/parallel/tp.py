@@ -79,7 +79,12 @@ def make_mesh_2d(
 
 def _is_bank(module: dict, n_shards: int) -> bool:
     """Bank module: every leaf is an array sharing one leading axis that
-    divides the model axis (CelebA's 18-attr expert banks)."""
+    divides the model axis, and at least one leaf is a >=3-D weight
+    tensor (CelebA's 18-attr expert banks: ``w1 (18, in, out)``). The
+    ndim guard keeps flat-leaf NON-bank modules — a top-level Embed
+    ``{'embedding': (vocab, d)}`` or a norm's ``{'scale': (d,)}`` —
+    on the documented replicate rule instead of silently sharding
+    their leading axis."""
     leaves = list(module.values())
     if not leaves or any(isinstance(v, dict) for v in leaves):
         return False
@@ -87,7 +92,11 @@ def _is_bank(module: dict, n_shards: int) -> bool:
     if len(dims) != 1:
         return False
     (lead,) = dims.pop() or (0,)
-    return lead > 1 and lead % n_shards == 0
+    return (
+        lead > 1
+        and lead % n_shards == 0
+        and any(getattr(v, "ndim", 0) >= 3 for v in leaves)
+    )
 
 
 def _dense_specs(module: dict, n_shards: int, axis: str) -> dict:
@@ -122,10 +131,19 @@ def _dense_specs(module: dict, n_shards: int, axis: str) -> dict:
     if specs_list and specs_list[-1][1] == "col":
         specs_list[-1] = (specs_list[-1][0], "rep")
     for name, kind in specs_list:
-        if kind == "col":
-            specs[name] = {"kernel": P(None, axis), "bias": P(axis)}
-        elif kind == "row":
-            specs[name] = {"kernel": P(axis, None), "bias": P()}
+        if kind == "rep":
+            continue
+        col = kind == "col"
+        # Only keys the layer actually has (use_bias=False Dense):
+        # the returned tree must match the params structure exactly.
+        specs[name] = {
+            k: (
+                (P(None, axis) if col else P(axis, None))
+                if k == "kernel"
+                else (P(axis) if col else P())
+            )
+            for k in module[name]
+        }
     return specs
 
 

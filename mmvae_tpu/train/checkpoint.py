@@ -85,12 +85,17 @@ def save_checkpoint(
     Crash durability: Orbax's ``force=True`` overwrite rmtree's the
     EXISTING directory before the replacement's tmp-dir rename, so a
     preemption landing inside the save window would lose the only
-    checkpoint. Every save therefore goes to a UNIQUE epoch-tagged
-    directory (``last_<k>`` / ``best_<k>`` -- fresh path, no force,
-    atomic tmp+rename inside Orbax), then the ``last_meta.json``
-    pointer is atomically replaced, and only THEN is the superseded
-    directory deleted -- a kill at any instant leaves a reachable,
-    complete checkpoint (tests/test_failure_recovery.py).
+    checkpoint if saves went to a fixed path. Every save therefore
+    goes to a UNIQUE epoch-tagged directory (``last_<k>`` /
+    ``best_<k>``), then the ``last_meta.json`` pointer is atomically
+    replaced, and only THEN is the superseded directory deleted -- a
+    kill at any instant leaves a reachable, complete checkpoint
+    (tests/test_failure_recovery.py). The saves below still pass
+    ``force=True``, but the only thing it can ever clear at an
+    epoch-tagged path is an UNREFERENCED leftover from a crash inside
+    that same epoch's save window (the pointer flips strictly after
+    the save completes), so the durability argument is carried by the
+    unique-path + pointer-flip ordering, not by the force flag.
     """
     tree = _to_tree(state, {"epoch": epoch, **(extra or {})})
     ckpt_dir = os.path.join(os.path.abspath(workdir), "ckpt")

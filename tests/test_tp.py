@@ -66,6 +66,38 @@ def test_tp_bank_specs():
     assert specs["image_enc"]["Conv_0"]["kernel"] == P()
 
 
+def test_tp_rule_edge_cases():
+    """Review-pinned edge rules: flat-leaf NON-bank modules (top-level
+    Embed / norm-like) replicate, and bias-less Dense layers produce a
+    spec tree that matches the params structure exactly."""
+    import numpy as np_
+
+    params = {
+        # Looks bank-ish (shared divisible leading axis) but has no
+        # >=3-D weight: must replicate, not shard axis 0.
+        "emb": {"embedding": np_.zeros((8, 16))},
+        "norm": {"scale": np_.zeros((16,)), "bias": np_.zeros((16,))},
+        # use_bias=False Dense: spec has ONLY the keys the layer has.
+        "mlp": {
+            "Dense_0": {"kernel": np_.zeros((16, 32))},
+            "Dense_1": {
+                "kernel": np_.zeros((32, 16)),
+                "bias": np_.zeros((16,)),
+            },
+        },
+    }
+    specs = tp_param_specs(params, n_shards=2)
+    assert specs["emb"]["embedding"] == P()
+    assert specs["norm"]["scale"] == P()
+    assert set(specs["mlp"]["Dense_0"]) == {"kernel"}
+    assert specs["mlp"]["Dense_0"]["kernel"] == P(None, "model")
+    assert specs["mlp"]["Dense_1"]["kernel"] == P("model", None)
+    # Same tree structure as params (documented contract).
+    assert jax.tree_util.tree_structure(
+        jax.tree.map(lambda _: 0, params)
+    ) == jax.tree_util.tree_structure(jax.tree.map(lambda _: 0, specs))
+
+
 def test_tp_indivisible_dims_replicate(setup):
     model, batch, fresh_state = setup
     params = fresh_state().params
