@@ -15,24 +15,21 @@ importance samples fold into the batch axis exactly like ELBO terms do in
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 
+from mmvae_tpu.core.likelihoods import gaussian_nll
 from mmvae_tpu.core.poe import product_of_experts
 
 __all__ = ["iwae_bound"]
 
-_LOG_2PI = math.log(2.0 * math.pi)
-
 
 def _diag_normal_logpdf(z, mu, logvar):
-    """log N(z; mu, diag exp(logvar)), summed over the latent dim."""
-    return -0.5 * jnp.sum(
-        _LOG_2PI + logvar + jnp.square(z - mu) * jnp.exp(-logvar),
-        axis=-1,
-    )
+    """log N(z; mu, diag exp(logvar)), summed over the latent dim.
+
+    Exactly ``-gaussian_nll`` -- one implementation of the density math
+    (and its log(2*pi) constant) for the whole package."""
+    return -gaussian_nll(mu, z, logvar, event_ndims=1)
 
 
 def iwae_bound(model, params, batch, rng, k: int = 64):

@@ -8,7 +8,7 @@ term and reduce however the experiment config dictates.
 
 These are the jnp reference implementations; ``mmvae_tpu.ops`` provides
 Pallas-fused versions of the hot reductions with identical semantics
-(selected via ``mmvae_tpu.ops.use_pallas``).
+(selected via ``mmvae_tpu.ops.set_backend`` / the per-op "auto" policy).
 """
 
 from __future__ import annotations

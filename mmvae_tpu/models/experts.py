@@ -263,7 +263,11 @@ class DeconvDecoder(nn.Module):
                 dtype=self.dtype,
             )(h).astype(jnp.float32)
         # Handle non-power-of-two targets (e.g. 50x50 MultiMNIST canvases
-        # decoded from a 64-ish grid): center-crop/pad to out_hw.
+        # decoded from a 52x52 grid): TOP-LEFT crop to out_hw. The stage
+        # sizing above always rounds UP, so the generated grid is never
+        # smaller than the target and no pad branch is needed; the crop
+        # anchor is arbitrary but fixed (training and generation decode
+        # through the same crop, so they stay aligned).
         gh, gw = logits.shape[1], logits.shape[2]
         if (gh, gw) != tuple(self.out_hw):
             logits = logits[:, : self.out_hw[0], : self.out_hw[1], :]

@@ -36,9 +36,7 @@ def _tile_rows(x, k: int):
     The jnp broadcast+reshape form fuses into consumers instead of
     materializing, and a sharded-major x replicated-minor merge keeps
     the batch axis sharded under GSPMD."""
-    import jax.numpy as _jnp
-
-    return _jnp.broadcast_to(
+    return jnp.broadcast_to(
         x[:, None], (x.shape[0], k) + x.shape[1:]
     ).reshape((x.shape[0] * k,) + x.shape[1:])
 

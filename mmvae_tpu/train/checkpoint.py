@@ -102,15 +102,16 @@ def save_checkpoint(
     primary = jax.process_index() == 0
     prev = _read_meta(ckpt_dir) if primary else {}
     last_name = f"last_{epoch:05d}"
-    best_name = f"best_{epoch:05d}"
     # Orbax writes atomically (tmp dir + rename) and saves async; wait so
     # the "best model feeds sample.py" contract holds immediately.
+    # A best epoch does NOT serialize the tree a second time: the best
+    # checkpoint IS the one just written, so the pointer file simply
+    # names the same directory twice. On a relay-attached chip the
+    # save's device->host fetch is the cost that matters (the CUB-128
+    # state is ~180 MB of params + Adam moments), and best epochs are
+    # MOST epochs of a converging run -- aliasing halves that traffic.
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(os.path.join(ckpt_dir, last_name), tree, force=True)
-        if is_best:
-            ckptr.save(
-                os.path.join(ckpt_dir, best_name), tree, force=True
-            )
         if keep_epochs > 0:
             ckptr.save(
                 os.path.join(ckpt_dir, f"epoch_{epoch:05d}"),
@@ -124,12 +125,15 @@ def save_checkpoint(
         # pruning below are primary-only (one writer per shared FS).
         return
     meta: dict[str, Any] = {"epoch": int(epoch), "last_dir": last_name}
-    meta["best_dir"] = best_name if is_best else prev.get("best_dir")
+    meta["best_dir"] = last_name if is_best else prev.get("best_dir")
     meta.update({k: float(v) for k, v in (extra or {}).items()})
     _write_meta_atomic(ckpt_dir, meta)
-    # Superseded directories go only AFTER the pointer flip.
+    # Superseded directories go only AFTER the pointer flip, and never
+    # a directory the new pointer still references (the best pointer
+    # aliases an old last_<k> dir until a better epoch lands).
+    live = {meta["last_dir"], meta.get("best_dir")}
     for old in (prev.get("last_dir"), prev.get("best_dir") if is_best else None):
-        if old and old not in (last_name, best_name):
+        if old and old not in live:
             shutil.rmtree(
                 os.path.join(ckpt_dir, old), ignore_errors=True
             )
@@ -145,9 +149,13 @@ def _resolve_ckpt_path(ckpt_dir: str, which: str) -> str | None:
     """Resolve "last"/"best" to an on-disk checkpoint directory.
 
     Resolution order: the ``last_meta.json`` pointer (current layout,
-    epoch-tagged dirs) -> a plain ``ckpt/<which>`` directory (legacy
-    layout, pre-round-3 checkpoints) -> the newest epoch-tagged dir of
-    that kind (pointer lost in a crash window). None if nothing exists.
+    epoch-tagged dirs; the best pointer may alias a ``last_<k>`` dir --
+    best epochs are not serialized twice) -> a plain ``ckpt/<which>``
+    directory (legacy layout, pre-round-3 checkpoints) -> the newest
+    epoch-tagged dir of that kind (pointer lost in a crash window; for
+    "best" this finds only legacy ``best_<k>`` dirs, so a pointer-loss
+    crash degrades best-resolution to "last" -- the caller's fallback).
+    None if nothing exists.
 
     Anything other than "last"/"best" (e.g. a retained per-epoch
     snapshot name like ``epoch_00002``) resolves literally -- the

@@ -459,6 +459,12 @@ def multi_term_loss(
     """
     rng_subset, rng_z = jax.random.split(rng)
     n_mod = model.n_modalities
+    if cross_recon_stopgrad and not cross_recon:
+        # Silently ignoring the knob would let a user attribute the
+        # (absent) stop-gradient cross supervision to the method.
+        raise ValueError(
+            "cross_recon_stopgrad=True requires cross_recon=True"
+        )
     if objective == "mvae":
         masks = elbo_subset_masks(n_mod)  # (1+M, M): joint + unimodal
         if n_random_subsets > 0:
@@ -1238,6 +1244,15 @@ def make_gather_epoch_runner(
     start shared across shards, skipping both the roll copy and the
     stratified re-stacking transpose.
     """
+    if mesh is not None and n_shards <= 1 and batch_size % int(
+        mesh.devices.size
+    ) == 0:
+        # A mesh in hand IS the shard count: a caller who passes the
+        # mesh but forgets n_shards would otherwise get the single-
+        # shard t-major fold over sharded arrays -- the exact SPMD
+        # full-remat program the mesh path exists to avoid (review
+        # finding; __graft_entry__'s third regime hit this).
+        n_shards = int(mesh.devices.size)
     if term_fold is None:
         # Single-shard epochs take the t-major fast fold. Mesh epochs
         # take the shard-local t-major fold when the mesh object is in
@@ -1264,7 +1279,9 @@ def make_gather_epoch_runner(
         mvtcae_alpha=mvtcae_alpha,
         member_prune=member_prune,
         term_fold=term_fold,
-        mesh=mesh if term_fold == "st" else None,
+        # "b" is mesh-aware too (_constrain_rows pins the fold's row
+        # axis); only the single-shard "t" fold must drop the mesh.
+        mesh=mesh if term_fold in ("st", "b") else None,
     )
     n_used = n_steps * batch_size
     if shuffle_mode not in ("roll", "block"):

@@ -45,16 +45,23 @@ def test_epoch_tagged_dirs_and_pruning(tiny_state, tmp_path):
     ckpt = os.path.join(wd, "ckpt")
     save_checkpoint(wd, tiny_state, 1, is_best=True)
     assert os.path.isdir(os.path.join(ckpt, "last_00001"))
-    assert os.path.isdir(os.path.join(ckpt, "best_00001"))
-    save_checkpoint(wd, tiny_state, 2, is_best=False)
-    # Superseded "last" pruned only after the pointer flip; the best
-    # pointer keeps riding epoch 1's directory.
-    assert not os.path.exists(os.path.join(ckpt, "last_00001"))
-    assert os.path.isdir(os.path.join(ckpt, "last_00002"))
-    assert os.path.isdir(os.path.join(ckpt, "best_00001"))
-    save_checkpoint(wd, tiny_state, 3, is_best=True)
-    assert os.path.isdir(os.path.join(ckpt, "best_00003"))
+    # A best epoch does NOT serialize twice: the best pointer aliases
+    # the directory the last save just wrote (halves the device->host
+    # checkpoint traffic on a converging run).
     assert not os.path.exists(os.path.join(ckpt, "best_00001"))
+    save_checkpoint(wd, tiny_state, 2, is_best=False)
+    # The superseded "last" dir SURVIVES while the best pointer still
+    # references it; the new last gets its own dir.
+    assert os.path.isdir(os.path.join(ckpt, "last_00001"))
+    assert os.path.isdir(os.path.join(ckpt, "last_00002"))
+    state, extra = load_checkpoint(wd, tiny_state, which="best")
+    assert int(extra["epoch"]) == 1
+    save_checkpoint(wd, tiny_state, 3, is_best=True)
+    # Both pointers moved to epoch 3: epochs 1 and 2 are unreferenced
+    # and pruned.
+    assert not os.path.exists(os.path.join(ckpt, "last_00001"))
+    assert not os.path.exists(os.path.join(ckpt, "last_00002"))
+    assert os.path.isdir(os.path.join(ckpt, "last_00003"))
     assert latest_epoch(wd) == 3
     state, extra = load_checkpoint(wd, tiny_state, which="best")
     assert int(extra["epoch"]) == 3

@@ -48,6 +48,16 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
+class ClientError(ValueError):
+    """Malformed request (bad payload shape/keys) — maps to HTTP 400.
+
+    Raised ONLY by request parsing; backend failures (wrong platform
+    for the artifact, OOM, device errors) raise whatever they raise and
+    map to 500 — classifying by exception TYPE at the handler level
+    misfiled e.g. jax.export's platform-mismatch ValueError as a client
+    error."""
+
+
 class _Item:
     __slots__ = ("batch", "presence", "seeds", "temperature", "n",
                  "event", "out", "error")
@@ -161,11 +171,17 @@ class Batcher:
             for it in group:
                 it.out = {k: v[off:off + it.n] for k, v in out.items()}
                 off += it.n
+            # Wake waiters only after EVERY item's output is assigned:
+            # setting events inside the loop opens a race where a later
+            # item's slicing error re-marks an already-woken item as
+            # failed (or a waiter reads a half-split group).
+            for it in group:
                 it.event.set()
         except Exception as e:  # noqa: BLE001 — surface to every waiter
             for it in group:
-                it.error = e
-                it.event.set()
+                if not it.event.is_set():
+                    it.error = e
+                    it.event.set()
 
 
 def make_handler(meta, call, batcher=None):
@@ -193,21 +209,28 @@ def make_handler(meta, call, batcher=None):
 
     def parse_rows(payload):
         """Request body -> (n, row arrays, presence rows, seeds, temp)."""
+        if not isinstance(payload, dict):
+            raise ClientError("request body must be a JSON object")
         cond = payload.get("condition", {}) or {}
+        if not isinstance(cond, dict):
+            raise ClientError("'condition' must map modality -> rows")
         unknown = set(cond) - set(shapes) - set(column_of)
         if unknown:
-            raise ValueError(
+            raise ClientError(
                 f"unknown modalities {sorted(unknown)}; have "
                 f"{sorted(set(shapes) | set(column_of))}"
             )
-        lengths = {k: len(v) for k, v in cond.items()}
+        try:
+            lengths = {k: len(v) for k, v in cond.items()}
+        except TypeError as e:
+            raise ClientError(f"condition rows must be arrays: {e}")
         if len(set(lengths.values())) > 1:
-            raise ValueError(
+            raise ClientError(
                 f"condition modalities disagree on batch size: {lengths}"
             )
         n = next(iter(lengths.values()), batch_size or 1)
         if not dynamic and n > batch_size:
-            raise ValueError(
+            raise ClientError(
                 f"request batch {n} exceeds the artifact's static "
                 f"batch size {batch_size} (export with "
                 f"--batch-size-export dynamic for arbitrary sizes)"
@@ -218,22 +241,26 @@ def make_handler(meta, call, batcher=None):
         }
         presence = np.zeros((n, len(modalities)), np.float32)
         idx = {m: i for i, m in enumerate(modalities)}
-        for key, value in cond.items():
-            if key in column_of:
-                bkey, col = column_of[key]
-                arr = np.asarray(value, shapes[bkey][1])
-                batch[bkey][: len(arr), col] = arr
-                presence[: len(arr), idx[key]] = 1.0
-                continue
-            arr = np.asarray(value, shapes[key][1])
-            batch[key][: len(arr)] = arr
-            for name in groups.get(key, []):
-                presence[: len(arr), idx[name]] = 1.0
-        seed = int(payload.get("seed", 0))
-        # Same expansion load_generate applies to a scalar seed, so a
-        # coalesced reply is bit-identical to the solo reply.
-        seeds = seed + np.arange(n, dtype=np.int32)
-        temperature = float(payload.get("temperature", 1.0))
+        try:
+            for key, value in cond.items():
+                if key in column_of:
+                    bkey, col = column_of[key]
+                    arr = np.asarray(value, shapes[bkey][1])
+                    batch[bkey][: len(arr), col] = arr
+                    presence[: len(arr), idx[key]] = 1.0
+                    continue
+                arr = np.asarray(value, shapes[key][1])
+                batch[key][: len(arr)] = arr
+                for name in groups.get(key, []):
+                    presence[: len(arr), idx[name]] = 1.0
+            seed = int(payload.get("seed", 0))
+            # Same expansion load_generate applies to a scalar seed, so
+            # a coalesced reply is bit-identical to the solo reply.
+            seeds = seed + np.arange(n, dtype=np.int32)
+            temperature = float(payload.get("temperature", 1.0))
+        except (ValueError, TypeError) as e:
+            # Wrong row shapes/dtypes, non-numeric seed/temperature.
+            raise ClientError(str(e)) from e
         return n, batch, presence, seeds, temperature
 
     def run_generate(payload):
@@ -302,12 +329,18 @@ def make_handler(meta, call, batcher=None):
                 self._reply(404, {"error": "unknown path"})
                 return
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                payload = json.loads(self.rfile.read(length) or b"{}")
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(length) or b"{}")
+                except (ValueError, TypeError) as e:
+                    raise ClientError(f"bad request body: {e}") from e
                 self._reply(200, run_generate(payload))
-            except (ValueError, KeyError, TypeError) as e:
+            except ClientError as e:
                 # Malformed request (bad JSON, unknown modality,
-                # inconsistent batch) -> client error.
+                # inconsistent batch, wrong row shapes) -> 400. Only
+                # parsing raises ClientError -- classifying by builtin
+                # exception TYPE here misfiled backend ValueErrors
+                # (e.g. jax.export platform mismatch) as client errors.
                 self._reply(400, {"error": str(e)})
             except Exception as e:
                 # Anything else (backend failure, OOM, wrong platform
