@@ -347,6 +347,9 @@ def train(
             state, extra = load_checkpoint(workdir, state, which="last")
             start_epoch = int(extra.get("epoch", 0)) + 1
             best = float(extra.get("best_test_elbo", best))
+    # Best among SAVED epochs (== best when ckpt_every=1): the best
+    # checkpoint pointer can only ever name an epoch that was saved.
+    best_saved = best
     out_state_shardings = None
     if mesh is not None:
         if config.fsdp:
@@ -671,15 +674,23 @@ def train(
                 f"train {meter.avg:10.2f} test {test_elbo:10.2f}"
                 + (" *best*" if is_best else "")
             )
-        if workdir is not None:
+        # ckpt_every > 1 amortizes the save's device->host state fetch
+        # (the dominant epoch cost for big models on a relay-attached
+        # chip); the final epoch always saves, and the best pointer
+        # names the best among SAVED epochs.
+        if workdir is not None and (
+            epoch % max(getattr(config, "ckpt_every", 1), 1) == 0
+            or epoch == config.epochs
+        ):
             save_checkpoint(
                 workdir,
                 state,
                 epoch,
-                is_best=is_best,
+                is_best=test_elbo < best_saved,
                 extra={"best_test_elbo": best},
                 keep_epochs=config.keep_epoch_ckpts,
             )
+            best_saved = min(best_saved, test_elbo)
         epoch += 1
     if grain_prefetch is not None:
         # Politeness on the normal path (a pending future from a

@@ -45,6 +45,7 @@ def _overrides(args, config):
         "reshuffle_every", "warmup_epochs", "lr_schedule",
         "accum_steps", "shuffle_mode", "shuffle_granularity",
         "nan_rollback", "objective", "mvtcae_alpha", "tp",
+        "ckpt_every",
         "cross_recon_weight",
         "cross_recon_stopgrad",
         "unimodal_align_weight",
@@ -230,6 +231,11 @@ def _build_parser() -> argparse.ArgumentParser:
         "--fsdp", dest="fsdp", action="store_true", default=None,
         help="shard params + optimizer state over the data mesh "
         "(ZeRO-3 via GSPMD; needs >1 device)",
+    )
+    pt.add_argument(
+        "--ckpt-every", dest="ckpt_every", type=int,
+        help="checkpoint every N epochs (default 1 = each epoch; the "
+        "final epoch always saves; best tracks saved epochs)",
     )
     pt.add_argument(
         "--tp", dest="tp", type=int,

@@ -130,6 +130,13 @@ class ExperimentConfig:
     fsdp: bool = False  # shard params + Adam moments over the data mesh
     # (ZeRO-3 via GSPMD, parallel/fsdp.py); default off -- these models
     # replicate trivially, the flag is the memory-scaling escape hatch
+    ckpt_every: int = 1  # checkpoint every N epochs (1 = reference
+    # semantics: save each epoch). The save's device->host fetch
+    # dominates big-model epochs on a relay-attached chip (CUB-128:
+    # ~182 MB state, measured 6-9 s/epoch vs 2.5 s of compute+eval);
+    # N>1 amortizes it. The final epoch always saves; best-tracking
+    # then names the best among SAVED epochs, and preemption resume
+    # restarts from the last saved epoch.
     tp: int = 1  # tensor parallelism: devices fold into a 2-D
     # (data, model) mesh with tp-way model groups -- column/row-parallel
     # Dense stacks + expert-parallel attr banks (parallel/tp.py);

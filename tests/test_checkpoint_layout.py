@@ -116,3 +116,34 @@ def test_legacy_inplace_layout_still_loads(tiny_state, tmp_path):
     # And with no sidecar at all (oldest layout): full-restore fallback.
     os.remove(os.path.join(ckpt, "last_meta.json"))
     assert latest_epoch(wd) == 4
+
+
+def test_ckpt_every_amortizes_saves(tmp_path):
+    """config.ckpt_every=2: only every 2nd epoch (plus the final one)
+    saves; best tracks saved epochs; eval/sample load the result."""
+    import numpy as np
+
+    from mmvae_tpu import api
+    from mmvae_tpu.configs import get_config
+
+    cfg = get_config("mnist").replace(
+        n_latents=8, epochs=3, batch_size=32, train_size=64,
+        test_size=32, annealing_epochs=1, ckpt_every=2,
+    )
+    wd = str(tmp_path)
+    result = api.train(cfg, wd, use_mesh=False, verbose=False)
+    assert np.isfinite(result.best_test_elbo)
+    ckpt = os.path.join(wd, "ckpt")
+    names = sorted(os.listdir(ckpt))
+    # Epochs 2 (2 % 2 == 0) and 3 (final) saved; epoch 1 never did.
+    assert not any(n.startswith("last_00001") for n in names)
+    assert any(n.startswith("last_00003") for n in names), names
+    # The best pointer names a SAVED epoch and resolves.
+    elbo = api.eval_elbo(cfg, workdir=wd)
+    assert np.isfinite(elbo)
+    # Resume restarts from the last saved epoch.
+    result2 = api.train(
+        cfg.replace(epochs=4), wd, use_mesh=False, verbose=False,
+        resume=True,
+    )
+    assert result2.history[0]["epoch"] == 4
