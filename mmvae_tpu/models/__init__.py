@@ -15,8 +15,11 @@ from mmvae_tpu.models.fashionmnist import FashionMnistMVAE
 from mmvae_tpu.models.multimnist import MultiMnistMVAE
 from mmvae_tpu.models.celeba import CelebAMVAE
 from mmvae_tpu.models.cub import CubMVAE
+from mmvae_tpu.models.pipeline import DeepMnistMVAE, PipelineTrunk
 
 __all__ = [
+    "DeepMnistMVAE",
+    "PipelineTrunk",
     "MVAEBase",
     "ModalitySpec",
     "MnistMVAE",

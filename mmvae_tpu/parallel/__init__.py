@@ -31,6 +31,13 @@ from mmvae_tpu.parallel.tp import (
     tp_batch_sharding,
     tp_shard_batch,
 )
+from mmvae_tpu.parallel.pp import (
+    make_mesh_pp,
+    pipeline_apply,
+    pp_param_specs,
+    pp_shard,
+    pp_shard_batch,
+)
 
 __all__ = [
     "make_mesh",
@@ -49,4 +56,9 @@ __all__ = [
     "tp_shard",
     "tp_batch_sharding",
     "tp_shard_batch",
+    "make_mesh_pp",
+    "pipeline_apply",
+    "pp_param_specs",
+    "pp_shard",
+    "pp_shard_batch",
 ]

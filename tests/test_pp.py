@@ -1,0 +1,189 @@
+"""Pipeline parallelism over a 2-D (data, pipe) mesh on 8 fake CPU
+devices: GPipe microbatch schedule under shard_map with ppermute
+between stages (parallel/pp.py), driven by the stage-stacked
+PipelineTrunk experts (models/pipeline.py). The pipelined program must
+match the sequential lax.scan over stages — forward, gradients, and a
+full train step — and the stage-axis layouts must survive the update."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from mmvae_tpu.models import DeepMnistMVAE
+from mmvae_tpu.parallel import (
+    make_mesh_pp,
+    pipeline_apply,
+    pp_param_specs,
+    pp_shard,
+    pp_shard_batch,
+    state_shardings,
+)
+from mmvae_tpu.train import create_train_state, make_train_step
+
+
+def _stage_fn(p, h):
+    pk, pb = p
+    y = h
+    for i in range(pk.shape[0]):
+        y = jax.nn.silu(y @ pk[i] + pb[i])
+    return h + y
+
+
+def _seq(params, x):
+    h, _ = jax.lax.scan(
+        lambda c, p: (_stage_fn(p, c), None), x, params
+    )
+    return h
+
+
+def test_pipeline_apply_matches_scan():
+    """The pipelined schedule IS the sequential composition: forward
+    bit-exact, grads to float precision (through scan + ppermute +
+    the masked psum broadcast)."""
+    mesh = make_mesh_pp(4)
+    s, d, w = 4, 2, 16
+    k = jax.random.normal(jax.random.key(0), (s, d, w, w)) * 0.1
+    b = jax.random.normal(jax.random.key(1), (s, d, w)) * 0.1
+    x = jax.random.normal(jax.random.key(2), (16, w))
+
+    def pp(params, x):
+        return pipeline_apply(
+            _stage_fn, params, x, mesh=mesh, n_micro=4
+        )
+
+    ref = _seq((k, b), x)
+    out = jax.jit(pp)((k, b), x)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+    g_ref = jax.grad(lambda p: _seq(p, x).sum())((k, b))
+    g_pp = jax.jit(jax.grad(lambda p: pp(p, x).sum()))((k, b))
+    for a, c in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pp)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-5
+        )
+
+    gx_ref = jax.grad(lambda x: _seq((k, b), x).sum())(x)
+    gx_pp = jax.jit(jax.grad(lambda x: pp((k, b), x).sum()))(x)
+    np.testing.assert_allclose(
+        np.asarray(gx_ref), np.asarray(gx_pp), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_pipeline_apply_rejects_bad_batch():
+    mesh = make_mesh_pp(4)
+    k = jnp.zeros((4, 1, 8, 8))
+    b = jnp.zeros((4, 1, 8))
+    with pytest.raises(ValueError, match="microbatch"):
+        pipeline_apply(
+            _stage_fn, (k, b), jnp.zeros((12, 8)), mesh=mesh, n_micro=4
+        )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    seq_model = DeepMnistMVAE(
+        n_latents=8, trunk_stages=4, trunk_depth=1, trunk_width=32
+    )
+    batch = {
+        "image": (
+            jax.random.uniform(jax.random.key(0), (16, 28, 28)) > 0.5
+        ).astype(jnp.float32),
+        "label": jax.random.randint(jax.random.key(1), (16,), 0, 10),
+    }
+
+    def fresh_state():
+        return create_train_state(
+            seq_model, batch, jax.random.key(0), 1e-3
+        )
+
+    return seq_model, batch, fresh_state
+
+
+def test_pp_specs_and_state_layout(setup):
+    seq_model, batch, fresh_state = setup
+    state = fresh_state()
+    specs = pp_param_specs(state.params)
+    # Trunk stacked params shard the stage axis; heads replicate.
+    for mod in ("image_enc", "image_dec"):
+        trunk = specs[mod]["PipelineTrunk_0"]
+        assert trunk["kernels"] == P("pipe")
+        assert trunk["biases"] == P("pipe")
+        assert specs[mod]["Dense_0"]["kernel"] == P()
+    assert specs["label_enc"]["Embed_0"]["embedding"] == P()
+    # Same tree structure as params (documented contract).
+    assert jax.tree_util.tree_structure(
+        jax.tree.map(lambda _: 0, state.params)
+    ) == jax.tree_util.tree_structure(jax.tree.map(lambda _: 0, specs))
+
+    mesh = make_mesh_pp(4)
+    assert mesh.shape == {"data": 2, "pipe": 4}
+    placed = pp_shard(state, mesh)
+    k = placed.params["image_enc"]["PipelineTrunk_0"]["kernels"]
+    assert k.sharding.spec == P("pipe")
+    assert sum(s.data.size for s in k.addressable_shards) == 2 * k.size
+    # Adam moments mirror the param layouts (suffix-path lookup).
+    assert P("pipe") in [
+        x.sharding.spec
+        for x in jax.tree.leaves(placed.opt_state)
+        if hasattr(x, "sharding")
+    ]
+    assert placed.step.sharding.is_fully_replicated
+
+
+def test_pp_train_step_matches_single_device(setup):
+    """The pipelined train step (same params, created sequentially — the
+    two modes share one parameter tree) matches the single-device step;
+    stage layouts survive the update; the compiled program moves
+    activations stage-to-stage by collective-permute and never gathers
+    a full stacked trunk tensor."""
+    seq_model, batch, fresh_state = setup
+    mesh = make_mesh_pp(4)
+    pp_model = DeepMnistMVAE(
+        n_latents=8, trunk_stages=4, trunk_depth=1, trunk_width=32,
+        pp_mesh=mesh, pp_n_micro=4,
+    )
+
+    step = make_train_step(
+        seq_model, n_random_subsets=2, annealing_steps=10
+    )
+    s1 = fresh_state()
+    for _ in range(3):
+        s1, m1 = step(s1, batch)
+
+    ps = pp_shard(fresh_state(), mesh)
+    pstep = make_train_step(
+        pp_model,
+        n_random_subsets=2,
+        annealing_steps=10,
+        out_state_shardings=state_shardings(ps),
+    )
+    sharded = pp_shard_batch(batch, mesh)
+    for _ in range(3):
+        ps, mp = pstep(ps, sharded)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(mp["loss"]), rtol=1e-4
+    )
+    for a, b in zip(
+        jax.tree.leaves(s1.params), jax.tree.leaves(ps.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4
+        )
+    assert ps.params["image_enc"]["PipelineTrunk_0"][
+        "kernels"
+    ].sharding.spec == P("pipe")
+
+    txt = pstep.lower(ps, sharded).compile().as_text()
+    assert "collective-permute" in txt
+    # The stacked trunks (4,1,32,32)/(4,1,32) are consumed in their
+    # stage-sharded layout: no all-gather materializes a full stack.
+    gathered = [
+        line
+        for line in txt.splitlines()
+        if "all-gather" in line
+        and ("4,1,32,32" in line.replace(" ", ""))
+    ]
+    assert not gathered, gathered[:3]
