@@ -286,10 +286,16 @@ def train(
         _save_run_config(workdir, config)
     model = build_model(config, dtype=dtype)
     tp = getattr(config, "tp", 1)
+    pp = getattr(config, "pp", 1)
     if tp < 1:
         raise ValueError(f"tp must be >= 1, got {tp}")
+    if pp < 1:
+        raise ValueError(f"pp must be >= 1, got {pp}")
     if tp > 1 and config.fsdp:
         raise ValueError("tp>1 and fsdp are mutually exclusive")
+    if pp > 1 and (config.fsdp or tp > 1):
+        raise ValueError("pp>1 is mutually exclusive with fsdp/tp")
+    train_model = model
     if tp > 1:
         if not use_mesh or len(jax.devices()) % tp:
             raise ValueError(
@@ -299,6 +305,32 @@ def train(
         from mmvae_tpu.parallel import make_mesh_2d
 
         mesh = make_mesh_2d(tp)
+    elif pp > 1:
+        if not use_mesh or len(jax.devices()) % pp:
+            raise ValueError(
+                f"pp={pp} needs use_mesh and a device count divisible "
+                f"by pp (have {len(jax.devices())})"
+            )
+        if getattr(model, "trunk_stages", None) != pp:
+            raise ValueError(
+                f"pp={pp} needs a trunk model with trunk_stages == pp "
+                f"(got {getattr(model, 'trunk_stages', None)!r}; "
+                "use the deep_mnist config)"
+            )
+        from mmvae_tpu.parallel import make_mesh_pp
+
+        mesh = make_mesh_pp(pp)
+        n_data = len(jax.devices()) // pp
+        micro = model.pp_n_micro
+        if config.batch_size % (n_data * micro):
+            raise ValueError(
+                f"batch_size={config.batch_size} must divide into "
+                f"{micro} microbatches per {n_data}-way data shard"
+            )
+        # The TRAIN step runs the pipelined variant; eval, sampling and
+        # checkpoint templates keep the sequential one (same parameter
+        # tree -- models/pipeline.py).
+        train_model = build_model(config, dtype=dtype, pp_mesh=mesh)
     else:
         mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
 
@@ -362,6 +394,11 @@ def train(
 
             state = tp_shard(state, mesh)
             out_state_shardings = state_shardings(state)
+        elif pp > 1:
+            from mmvae_tpu.parallel import pp_shard, state_shardings
+
+            state = pp_shard(state, mesh)
+            out_state_shardings = state_shardings(state)
         else:
             state = replicate(state, mesh)
 
@@ -406,6 +443,7 @@ def train(
         config.data_backend == "device"
         and not config.fsdp
         and tp == 1
+        and pp == 1
         and train_ds.size % max(n_mesh_devices, 1) == 0
     )
     if config.reshuffle_every > 1 and not in_program_gather:
@@ -449,7 +487,7 @@ def train(
             train_arrays = dict(train_ds.arrays)
     else:
         runner = make_epoch_runner(
-            model,
+            train_model,
             out_state_shardings=out_state_shardings,
             # Off-mesh (grain / single-device pre-stacked) epochs take
             # the t-major fast fold; mesh epochs need the sharding-safe
@@ -463,10 +501,12 @@ def train(
 
         # Leading axis = steps (unsharded), batch axis over every mesh
         # axis (data on 1-D meshes; (dcn, data) on multi-slice meshes)
-        # EXCEPT the TP model axis, which sees replicated batches (the
-        # model-axis work is layer-internal -- parallel/tp.py).
+        # EXCEPT the TP model axis and the PP pipe axis, which see
+        # replicated batches (the model-axis work is layer-internal --
+        # parallel/tp.py; the pipe-axis work is the schedule's --
+        # parallel/pp.py).
         batch_axes = tuple(
-            a for a in mesh.axis_names if a != "model"
+            a for a in mesh.axis_names if a not in ("model", "pipe")
         )
         stacked_sharding = NamedSharding(mesh, P(None, batch_axes))
 
@@ -627,6 +667,10 @@ def train(
                         from mmvae_tpu.parallel import tp_shard
 
                         state = tp_shard(state, mesh)
+                    elif pp > 1:
+                        from mmvae_tpu.parallel import pp_shard
+
+                        state = pp_shard(state, mesh)
                     else:
                         state = replicate(state, mesh)
                 restored = 0

@@ -20,7 +20,10 @@ import numpy as np
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--config", required=True,
-        choices=["mnist", "fashionmnist", "multimnist", "celeba", "cub"],
+        choices=[
+            "mnist", "deep_mnist", "fashionmnist", "multimnist",
+            "celeba", "cub",
+        ],
     )
     p.add_argument("--workdir", default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -44,7 +47,7 @@ def _overrides(args, config):
         "keep_epoch_ckpts", "ema_decay", "data_dtype",
         "reshuffle_every", "warmup_epochs", "lr_schedule",
         "accum_steps", "shuffle_mode", "shuffle_granularity",
-        "nan_rollback", "objective", "mvtcae_alpha", "tp",
+        "nan_rollback", "objective", "mvtcae_alpha", "tp", "pp",
         "ckpt_every",
         "cross_recon_weight",
         "cross_recon_stopgrad",
@@ -242,6 +245,13 @@ def _build_parser() -> argparse.ArgumentParser:
         help="tensor parallelism: fold the devices into a 2-D "
         "(data, model) mesh with TP-way model groups "
         "(column/row-parallel Dense stacks; parallel/tp.py)",
+    )
+    pt.add_argument(
+        "--pp", dest="pp", type=int,
+        help="pipeline parallelism: fold the devices into a 2-D "
+        "(data, pipe) mesh; the model's stage-stacked trunks run the "
+        "GPipe microbatch schedule (trunk models only, e.g. the "
+        "deep_mnist config with trunk_stages == PP; parallel/pp.py)",
     )
     pt.add_argument("--resume", action="store_true")
     pt.add_argument(

@@ -16,6 +16,7 @@ from mmvae_tpu.data.synthetic import cub_vocab
 from mmvae_tpu.models import (
     CelebAMVAE,
     CubMVAE,
+    DeepMnistMVAE,
     FashionMnistMVAE,
     MnistMVAE,
     MultiMnistMVAE,
@@ -141,6 +142,11 @@ class ExperimentConfig:
     # (data, model) mesh with tp-way model groups -- column/row-parallel
     # Dense stacks + expert-parallel attr banks (parallel/tp.py);
     # mutually exclusive with fsdp, takes the pre-stacked epoch path
+    pp: int = 1  # pipeline parallelism: devices fold into a 2-D
+    # (data, pipe) mesh; the model's stage-stacked trunks shard their
+    # stage axis and run the GPipe microbatch schedule (parallel/pp.py).
+    # Needs a trunk model (the "deep_mnist" config) with trunk_stages
+    # == pp; mutually exclusive with fsdp/tp, pre-stacked epoch path
     model_kwargs: dict[str, Any] = dataclasses.field(default_factory=dict)
     data_kwargs: dict[str, Any] = dataclasses.field(default_factory=dict)
     # kwargs forwarded to the synthetic data generator (e.g. hw=128 for
@@ -155,6 +161,14 @@ CONFIGS: dict[str, ExperimentConfig] = {
     # 1. MVAE on MNIST image+label -- MLP encoders, PoE, full ELBO [B:7]
     "mnist": ExperimentConfig(
         name="mnist", dataset="mnist", n_latents=64,
+        annealing_epochs=10,
+    ),
+    # 1b. Deep-trunk MNIST -- the pipeline-parallelism vehicle (rebuild
+    # extension, no reference counterpart): image experts carry a
+    # stage-stacked residual trunk; with pp == trunk_stages the trunk
+    # runs the GPipe schedule over a (data, pipe) mesh (DESIGN.md 14)
+    "deep_mnist": ExperimentConfig(
+        name="deep_mnist", dataset="mnist", n_latents=64,
         annealing_epochs=10,
     ),
     # 2. FashionMNIST bimodal -- conv image encoder + label expert [B:8]
@@ -208,6 +222,7 @@ CONFIGS: dict[str, ExperimentConfig] = {
 
 _MODEL_CLASSES = {
     "mnist": MnistMVAE,
+    "deep_mnist": DeepMnistMVAE,
     "fashionmnist": FashionMnistMVAE,
     "multimnist": MultiMnistMVAE,
     "celeba": CelebAMVAE,
@@ -221,11 +236,21 @@ def get_config(name: str) -> ExperimentConfig:
     return CONFIGS[name]
 
 
-def build_model(config: ExperimentConfig, dtype=jnp.float32):
+def build_model(config: ExperimentConfig, dtype=jnp.float32, pp_mesh=None):
+    """Model from a config. ``pp_mesh`` builds the PIPELINED execution
+    variant (same parameter tree as the sequential default — states and
+    checkpoints move freely between the two; models/pipeline.py)."""
     cls = _MODEL_CLASSES[config.name]
     kwargs = dict(config.model_kwargs)
     if config.name == "cub" and "vocab_size" not in kwargs:
         kwargs["vocab_size"] = _cub_vocab_size()
+    if pp_mesh is not None:
+        if "pp_mesh" not in {f.name for f in dataclasses.fields(cls)}:
+            raise ValueError(
+                f"config {config.name!r} has no pipeline trunks; "
+                "pp>1 needs a trunk model (deep_mnist)"
+            )
+        kwargs["pp_mesh"] = pp_mesh
     return cls(n_latents=config.n_latents, dtype=dtype, **kwargs)
 
 

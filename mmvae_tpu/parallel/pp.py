@@ -108,6 +108,14 @@ def pipeline_apply(
             f"batch {x.shape[0]} not divisible into {n_micro} microbatches"
             f" per {n_data}-way data shard"
         )
+    for leaf in jax.tree.leaves(stage_params):
+        if leaf.shape[:1] != (n_stages,):
+            # shard_map would otherwise SPLIT a longer stage axis and
+            # the per-shard [0] pick would silently drop stages.
+            raise ValueError(
+                f"stage_params leading axis {leaf.shape[:1]} != pipe "
+                f"axis size ({n_stages}): one stage per pipe device"
+            )
 
     def local(params, x_loc):
         i = jax.lax.axis_index(pipe_axis)

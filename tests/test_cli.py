@@ -232,3 +232,18 @@ def test_mixture_objective_clears_mvae_default_knobs(tmp_path):
             "--epochs", "1", "--train-size", "8", "--test-size", "8",
             "--batch-size", "4", "--n-latents", "8", "--no-mesh",
         ])
+
+
+def test_pp_flag_parses_and_overrides():
+    """--pp reaches config.pp; deep_mnist is a selectable config."""
+    from mmvae_tpu.cli import _build_parser, _overrides
+    from mmvae_tpu.configs import get_config
+
+    parser = _build_parser()
+    args = parser.parse_args(
+        ["train", "--config", "deep_mnist", "--pp", "2"]
+    )
+    assert args.pp == 2
+    cfg = _overrides(args, get_config("deep_mnist"))
+    assert cfg.pp == 2
+    assert cfg.name == "deep_mnist"

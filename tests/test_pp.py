@@ -187,3 +187,49 @@ def test_pp_train_step_matches_single_device(setup):
         and ("4,1,32,32" in line.replace(" ", ""))
     ]
     assert not gathered, gathered[:3]
+
+
+def test_pp_via_api_train(tmp_path):
+    """config.pp=2 end to end: api.train folds the 8 fake devices into
+    a (4, 2) (data, pipe) mesh, trains the deep_mnist trunk model on
+    the pre-stacked path with stage-sharded state, evaluates with the
+    sequential twin, and checkpoints."""
+    from mmvae_tpu import api
+    from mmvae_tpu.configs import get_config
+
+    cfg = get_config("deep_mnist").replace(
+        n_latents=8, epochs=2, batch_size=32, train_size=64,
+        test_size=32, annealing_epochs=1, pp=2,
+        model_kwargs={
+            "trunk_stages": 2, "trunk_depth": 1, "trunk_width": 32,
+            "pp_n_micro": 2,
+        },
+    )
+    result = api.train(cfg, str(tmp_path), verbose=False)
+    assert np.isfinite(result.best_test_elbo)
+    k = result.state.params["image_enc"]["PipelineTrunk_0"]["kernels"]
+    assert k.sharding.spec == P("pipe")
+
+    # Invalid combinations are rejected loudly.
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        api.train(cfg.replace(fsdp=True), None, verbose=False)
+    with pytest.raises(ValueError, match="trunk_stages"):
+        api.train(
+            cfg.replace(model_kwargs={"trunk_stages": 4}),
+            None, verbose=False,
+        )
+    with pytest.raises(ValueError, match="trunk"):
+        api.train(
+            get_config("mnist").replace(pp=2, train_size=64),
+            None, verbose=False,
+        )
+
+
+def test_pipeline_apply_rejects_stage_mismatch():
+    mesh = make_mesh_pp(2)  # pipe=2, but 4 stacked stages
+    k = jnp.zeros((4, 1, 8, 8))
+    b = jnp.zeros((4, 1, 8))
+    with pytest.raises(ValueError, match="pipe"):
+        pipeline_apply(
+            _stage_fn, (k, b), jnp.zeros((16, 8)), mesh=mesh, n_micro=2
+        )
