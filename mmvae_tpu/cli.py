@@ -48,7 +48,7 @@ def _overrides(args, config):
         "reshuffle_every", "warmup_epochs", "lr_schedule",
         "accum_steps", "shuffle_mode", "shuffle_granularity",
         "nan_rollback", "objective", "mvtcae_alpha", "tp", "pp",
-        "ckpt_every",
+        "ckpt_every", "grain_stream_steps",
         "cross_recon_weight",
         "cross_recon_stopgrad",
         "unimodal_align_weight",
@@ -120,6 +120,12 @@ def _build_parser() -> argparse.ArgumentParser:
         choices=["device", "grain"],
         help="input pipeline: device-resident gathers (default) or the "
         "Grain host-streaming pipeline",
+    )
+    pt.add_argument(
+        "--grain-stream-steps", dest="grain_stream_steps", type=int,
+        help="grain backend: stream the epoch in K-batch double-"
+        "buffered segments (bounded memory for beyond-HBM datasets; "
+        "0 = ship the whole stacked epoch)",
     )
     pt.add_argument(
         "--keep-epoch-ckpts", dest="keep_epoch_ckpts", type=int,

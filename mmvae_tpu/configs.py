@@ -16,6 +16,7 @@ from mmvae_tpu.data.synthetic import cub_vocab
 from mmvae_tpu.models import (
     CelebAMVAE,
     CubMVAE,
+    DeepCubMVAE,
     DeepMnistMVAE,
     FashionMnistMVAE,
     MnistMVAE,
@@ -102,6 +103,12 @@ class ExperimentConfig:
     data_backend: str = "device"  # "device" (HBM-resident gathers) or
     # "grain" (the [B:5] Grain pipeline: host-side shuffle/dropout
     # stream, stacked + shipped to device once per epoch)
+    grain_stream_steps: int = 0  # grain backend delivery granularity:
+    # 0 ships the whole stacked epoch (one transfer/epoch, epoch-sized
+    # HBM residency); K>0 streams the epoch in K-batch segments with
+    # double-buffered host gather + transfer (api._GrainStream) --
+    # bounded memory (O(2 segments) host, O(1-2 segments) HBM) for
+    # beyond-HBM datasets, trajectory bit-identical to whole-epoch
     data_dtype: str = "float32"  # stacked-batch storage dtype for float
     # modalities ("bfloat16" halves the per-step HBM batch read; measured
     # 2.3x on the MNIST bf16 point with identical loss trajectories --
@@ -145,7 +152,7 @@ class ExperimentConfig:
     pp: int = 1  # pipeline parallelism: devices fold into a 2-D
     # (data, pipe) mesh; the model's stage-stacked trunks shard their
     # stage axis and run the GPipe microbatch schedule (parallel/pp.py).
-    # Needs a trunk model (the "deep_mnist" config) with trunk_stages
+    # Needs a trunk model ("deep_cub"/"deep_mnist") with trunk_stages
     # == pp; mutually exclusive with fsdp/tp, pre-stacked epoch path
     model_kwargs: dict[str, Any] = dataclasses.field(default_factory=dict)
     data_kwargs: dict[str, Any] = dataclasses.field(default_factory=dict)
@@ -218,6 +225,17 @@ CONFIGS: dict[str, ExperimentConfig] = {
         cross_recon=True, epochs=60, train_size=16000,
         cycle_weight=0.1, cycle_render_grad=True,
     ),
+    # 5b. Deep-trunk CUB -- the reference-family pipeline-parallelism
+    # config (round 4): the cub experiment with stage-stacked residual
+    # trunks at the image experts' bottlenecks; --pp == trunk_stages
+    # runs them as GPipe pipelines over a (data, pipe) mesh while the
+    # conv/text/fusion dataflow stays DP (models/pipeline.py
+    # ::DeepCubMVAE, DESIGN.md 14).
+    "deep_cub": ExperimentConfig(
+        name="deep_cub", dataset="cub", n_latents=256, batch_size=64,
+        cross_recon=True, epochs=60, train_size=16000,
+        cycle_weight=0.1, cycle_render_grad=True,
+    ),
 }
 
 _MODEL_CLASSES = {
@@ -227,6 +245,7 @@ _MODEL_CLASSES = {
     "multimnist": MultiMnistMVAE,
     "celeba": CelebAMVAE,
     "cub": CubMVAE,
+    "deep_cub": DeepCubMVAE,
 }
 
 
@@ -242,13 +261,13 @@ def build_model(config: ExperimentConfig, dtype=jnp.float32, pp_mesh=None):
     checkpoints move freely between the two; models/pipeline.py)."""
     cls = _MODEL_CLASSES[config.name]
     kwargs = dict(config.model_kwargs)
-    if config.name == "cub" and "vocab_size" not in kwargs:
+    if config.dataset == "cub" and "vocab_size" not in kwargs:
         kwargs["vocab_size"] = _cub_vocab_size()
     if pp_mesh is not None:
         if "pp_mesh" not in {f.name for f in dataclasses.fields(cls)}:
             raise ValueError(
                 f"config {config.name!r} has no pipeline trunks; "
-                "pp>1 needs a trunk model (deep_mnist)"
+                "pp>1 needs a trunk model (deep_cub or deep_mnist)"
             )
         kwargs["pp_mesh"] = pp_mesh
     return cls(n_latents=config.n_latents, dtype=dtype, **kwargs)

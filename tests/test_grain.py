@@ -181,11 +181,11 @@ def test_grain_uint8_cast_skips_presence_mask():
     assert np.asarray(stacked["image"]).dtype == np.uint8
 
 
-def test_grain_prefetcher_hit_and_miss_match_serial(ds):
-    """The one-epoch-ahead prefetcher must return EXACTLY what the
-    serial ``_grain_epoch`` call returns -- on a scheduled hit (the
+def test_grain_stream_hit_and_miss_match_serial(ds):
+    """The double-buffered stream must return EXACTLY what the serial
+    ``_grain_epoch`` call returns -- on a scheduled hit (the
     steady-state path), on a miss (first epoch / nan_rollback retries,
-    whose perturbed seed invalidates the scheduled epoch), and on a
+    whose perturbed seed invalidates the scheduled segment), and on a
     stale schedule that must be abandoned, not served."""
     from mmvae_tpu import api
     from mmvae_tpu.configs import get_config
@@ -199,11 +199,12 @@ def test_grain_prefetcher_hit_and_miss_match_serial(ds):
     def serial(seed):
         return api._grain_epoch(ds, cfg, model, seed)
 
-    pf = api._GrainPrefetcher(ds, cfg, model)
+    pf = api._GrainStream(ds, cfg, model)
     try:
-        # Hit: scheduled seed is taken.
-        pf.schedule(api._grain_seed(3, 1, 0))
-        got = pf.take(api._grain_seed(3, 1, 0))
+        # Hit: scheduled key is taken. (grain_stream_steps=0 -> the
+        # whole epoch is one segment, key (seed, 0).)
+        pf.schedule((api._grain_seed(3, 1, 0), 0))
+        got = pf.take((api._grain_seed(3, 1, 0), 0))
         want = serial(api._grain_seed(3, 1, 0))
         assert got.keys() == want.keys()
         for k in want:
@@ -212,15 +213,15 @@ def test_grain_prefetcher_hit_and_miss_match_serial(ds):
             )
         # Miss: a rollback perturbed the seed after epoch 2 was
         # scheduled -- the stale epoch must be discarded.
-        pf.schedule(api._grain_seed(3, 2, 0))
-        got = pf.take(api._grain_seed(3, 2, 1))
+        pf.schedule((api._grain_seed(3, 2, 0), 0))
+        got = pf.take((api._grain_seed(3, 2, 1), 0))
         want = serial(api._grain_seed(3, 2, 1))
         for k in want:
             np.testing.assert_array_equal(
                 np.asarray(got[k]), np.asarray(want[k])
             )
-        # After a miss the prefetcher is empty: a fresh take computes.
-        got = pf.take(api._grain_seed(3, 3, 1))
+        # After a miss the stream is empty: a fresh take computes.
+        got = pf.take((api._grain_seed(3, 3, 1), 0))
         want = serial(api._grain_seed(3, 3, 1))
         for k in want:
             np.testing.assert_array_equal(
@@ -228,3 +229,52 @@ def test_grain_prefetcher_hit_and_miss_match_serial(ds):
             )
     finally:
         pf.close()
+
+
+def test_grain_stream_segments_cover_epoch(ds):
+    """Concatenated segments == the whole-epoch stack, bit for bit
+    (including an uneven tail segment), for every modality + presence.
+    This is the data half of the streamed-trajectory exactness claim;
+    the scan half is scan-concatenation (state threads through)."""
+    from mmvae_tpu import api
+    from mmvae_tpu.configs import get_config
+    from mmvae_tpu.models import MnistMVAE
+
+    cfg = get_config("mnist").replace(
+        n_latents=8, batch_size=16, train_size=64,
+        data_backend="grain", p_modality_drop=0.3,
+        grain_stream_steps=3,  # 4 steps -> segments of 3 + tail of 1
+    )
+    model = MnistMVAE(n_latents=8)
+    whole = api._grain_epoch_host(ds, cfg, model, seed=11)
+    st = api._GrainStream(ds, cfg, model)
+    try:
+        assert st._n_segs == 2
+        segs = [st._host_seg(11, k) for k in range(st._n_segs)]
+    finally:
+        st.close()
+    for k in whole:
+        got = np.concatenate([np.asarray(s[k]) for s in segs])
+        np.testing.assert_array_equal(got, np.asarray(whole[k]))
+
+
+def test_train_via_grain_stream_matches_whole_epoch():
+    """grain_stream_steps>0 (bounded-memory segment streaming) is
+    trajectory-IDENTICAL to the whole-epoch grain path: same plan,
+    same batches, scan-concatenation."""
+    from mmvae_tpu import api
+    from mmvae_tpu.configs import get_config
+
+    base = get_config("mnist").replace(
+        n_latents=8, epochs=2, batch_size=16, train_size=96,
+        test_size=32, data_backend="grain", p_modality_drop=0.3,
+    )
+    whole = api.train(base, None, use_mesh=False, verbose=False)
+    seg = api.train(
+        base.replace(grain_stream_steps=2), None,
+        use_mesh=False, verbose=False,
+    )
+    w = [h["train_loss"] for h in whole.history]
+    s = [h["train_loss"] for h in seg.history]
+    np.testing.assert_allclose(s, w, rtol=0, atol=0)
+    assert seg.best_test_elbo == whole.best_test_elbo
