@@ -93,6 +93,14 @@ def pipeline_apply(
     microbatch; it must preserve ``h``'s shape (uniform trunk).
     ``x``: ``(B, ...)`` activations; ``B`` must satisfy
     ``(B / mesh.shape[data_axis]) % n_micro == 0``.
+
+    CONTRACT: ``stage_fn`` must be TOTAL on arbitrary inputs -- during
+    fill/drain ticks it runs on zero-filled bubble activations (the
+    outputs are discarded by the tick mask, but the FUNCTION still
+    executes). A stage with normalization, division, or anything else
+    that can emit NaN/Inf on zeros would poison real outputs through
+    XLA's NaN*0 propagation. The residual-MLP trunk satisfies this;
+    audit any new stage family against it.
     """
     try:  # jax >= 0.6 exports shard_map at the top level
         from jax import shard_map
@@ -101,9 +109,7 @@ def pipeline_apply(
 
     n_stages = mesh.shape[pipe_axis]
     n_data = mesh.shape[data_axis]
-    if x.shape[0] % (n_data * n_micro) or (
-        (x.shape[0] // n_data) % n_micro
-    ):
+    if x.shape[0] % (n_data * n_micro):
         raise ValueError(
             f"batch {x.shape[0]} not divisible into {n_micro} microbatches"
             f" per {n_data}-way data shard"
@@ -187,6 +193,15 @@ def pp_shard(
     params structure, so trunk moments shard with their trunk params;
     scalars and unmatched leaves replicate. Multi-host staging goes
     through ``mesh._put``.
+
+    CONSTRAINT (first-match suffix lookup): a non-trunk leaf whose
+    path SUFFIX collides with a trunk param path would inherit the
+    trunk spec. Not reachable with the current model families (trunk
+    params live only under ``PipelineTrunk_*`` module names, which the
+    suffix includes), but any new state field that embeds a
+    params-shaped subtree under a different root must keep those
+    module names out of its paths or extend this lookup to match on
+    the params-subtree boundary.
     """
     from mmvae_tpu.parallel.mesh import _put
     from mmvae_tpu.parallel.tp import _flatten_with_names
