@@ -15,9 +15,10 @@ from mmvae_tpu.models.fashionmnist import FashionMnistMVAE
 from mmvae_tpu.models.multimnist import MultiMnistMVAE
 from mmvae_tpu.models.celeba import CelebAMVAE
 from mmvae_tpu.models.cub import CubMVAE
-from mmvae_tpu.models.pipeline import DeepMnistMVAE, PipelineTrunk
+from mmvae_tpu.models.pipeline import DeepCubMVAE, DeepMnistMVAE, PipelineTrunk
 
 __all__ = [
+    "DeepCubMVAE",
     "DeepMnistMVAE",
     "PipelineTrunk",
     "MVAEBase",

@@ -19,7 +19,7 @@ Design notes:
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -136,6 +136,16 @@ class ConvEncoder(nn.Module):
     # (12 vs 3 input channels on RGB), filling more of the MXU's 128-lane
     # contraction. Opt-in; default is the reference-shaped stack.
     space_to_depth: int = 1
+    # trunk_stages > 0 inserts a stage-stacked residual trunk
+    # (models/pipeline.py::PipelineTrunk, width = fc_hidden) at the
+    # bottleneck, between the flatten-FC and the latent head -- the
+    # depth-scaling / pipeline-parallelism hook for the conv expert
+    # families (DeepCubMVAE). 0 = the reference-shaped stack, params
+    # unchanged.
+    trunk_stages: int = 0
+    trunk_depth: int = 1
+    pp_mesh: Any = None
+    pp_n_micro: int = 4
 
     @nn.compact
     def __call__(self, x):
@@ -158,6 +168,14 @@ class ConvEncoder(nn.Module):
             )
         h = h.reshape((h.shape[0], -1))
         h = swish(nn.Dense(self.fc_hidden, dtype=self.dtype)(h))
+        if self.trunk_stages > 0:
+            from mmvae_tpu.models.pipeline import PipelineTrunk
+
+            h = PipelineTrunk(
+                self.trunk_stages, self.fc_hidden, self.trunk_depth,
+                dtype=self.dtype, pp_mesh=self.pp_mesh,
+                pp_n_micro=self.pp_n_micro,
+            )(h)
         out = nn.Dense(2 * self.n_latents, dtype=self.dtype)(h)
         out = out.astype(jnp.float32)
         return out[:, : self.n_latents], out[:, self.n_latents :]
@@ -212,6 +230,12 @@ class DeconvDecoder(nn.Module):
     # around the 4x4 deconv kernels (DESIGN.md section 10). Perf knob;
     # default stays the reference-shaped deconv stack.
     upsample_mode: str = "deconv"
+    # Bottleneck residual trunk, mirror of ConvEncoder.trunk_stages:
+    # sits between the latent-FC and the spatial projection.
+    trunk_stages: int = 0
+    trunk_depth: int = 1
+    pp_mesh: Any = None
+    pp_n_micro: int = 4
 
     @nn.compact
     def __call__(self, z):
@@ -223,6 +247,14 @@ class DeconvDecoder(nn.Module):
         h = swish(nn.Dense(self.fc_hidden, dtype=self.dtype)(
             z.astype(self.dtype)
         ))
+        if self.trunk_stages > 0:
+            from mmvae_tpu.models.pipeline import PipelineTrunk
+
+            h = PipelineTrunk(
+                self.trunk_stages, self.fc_hidden, self.trunk_depth,
+                dtype=self.dtype, pp_mesh=self.pp_mesh,
+                pp_n_micro=self.pp_n_micro,
+            )(h)
         h = swish(
             nn.Dense(base_h * base_w * self.features[0], dtype=self.dtype)(h)
         )
