@@ -14,6 +14,7 @@ import json
 import os
 import sys
 import threading
+import urllib.error
 import urllib.request
 
 import jax
@@ -255,3 +256,91 @@ def test_bucket_alloc():
     )
     assert [b._alloc(n) for n in (1, 2, 3, 5, 9, 64)] == [1, 2, 4, 8, 16, 64]
     assert b._alloc(100) == 100  # oversize single request: no bucket
+
+
+def test_npz_wire_format_matches_json(sampled_artifact):
+    """The binary npz wire format (round-4 VERDICT #8) is pure
+    transport: same validation, same batcher, outputs BIT-IDENTICAL to
+    the JSON format for the same request; JSON-in can ask for npz-out
+    via Accept and vice versa."""
+    import io
+
+    server, meta, batcher = serve_mod.make_server(
+        sampled_artifact, 0, max_wait_ms=1.0
+    )
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = {"condition": {"label": [3, 5]}, "seed": 9}
+        js = _post(port, body)
+
+        buf = io.BytesIO()
+        np.savez(
+            buf,
+            label=np.asarray([3, 5], np.int32),
+            seed=np.int64(9),
+        )
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=buf.getvalue(),
+            headers={"Content-Type": "application/x-npz"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.headers["Content-Type"] == "application/x-npz"
+            with np.load(io.BytesIO(r.read())) as z:
+                npz_out = {k: z[k] for k in z.files}
+        assert int(npz_out.pop("n")) == js["n"]
+        assert set(npz_out) == set(js["outputs"])
+        for k, v in js["outputs"].items():
+            np.testing.assert_array_equal(
+                np.asarray(v, npz_out[k].dtype), npz_out[k]
+            )
+
+        # JSON body + Accept: npz -> binary reply of the same rows.
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps(body).encode(),
+            headers={
+                "Content-Type": "application/json",
+                "Accept": "application/x-npz",
+            },
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            with np.load(io.BytesIO(r.read())) as z:
+                mixed = {k: z[k] for k in z.files}
+        for k in npz_out:
+            np.testing.assert_array_equal(mixed[k], npz_out[k])
+
+        # npz body + Accept: json -> JSON reply.
+        buf.seek(0)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=buf.getvalue(),
+            headers={
+                "Content-Type": "application/x-npz",
+                "Accept": "application/json",
+            },
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            js2 = json.loads(r.read())
+        assert js2["outputs"].keys() == js["outputs"].keys()
+        for k in js["outputs"]:
+            np.testing.assert_array_equal(
+                np.asarray(js2["outputs"][k]), np.asarray(js["outputs"][k])
+            )
+
+        # A corrupt npz body is a 400, not a 500.
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=b"PK\x03\x04 garbage",
+            headers={"Content-Type": "application/x-npz"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("corrupt npz accepted")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()

@@ -178,6 +178,32 @@ def _bench_http(path, config_name, bs, n_requests, names):
                 timeout=300,
             ).read()
             times.append(time.perf_counter() - t0)
+        # Binary wire format (round 4): the SAME request as npz arrays
+        # in / npz arrays out -- measures what the JSON encode/decode
+        # tax was actually costing.
+        import io
+
+        buf = io.BytesIO()
+        npz_cond = {
+            k: np.asarray(v) for k, v in cond.items()
+        }
+        np.savez(
+            buf, seed=np.int64(0), temperature=np.float64(1.0),
+            **npz_cond,
+        )
+        nbody = buf.getvalue()
+        nheaders = {
+            "Content-Type": "application/x-npz",
+            "Accept": "application/x-npz",
+        }
+        ntimes = []
+        for _ in range(n_requests):
+            t0 = time.perf_counter()
+            urllib.request.urlopen(
+                urllib.request.Request(url, nbody, nheaders),
+                timeout=300,
+            ).read()
+            ntimes.append(time.perf_counter() - t0)
         return {
             "config": config_name,
             "transport": "http",
@@ -185,6 +211,10 @@ def _bench_http(path, config_name, bs, n_requests, names):
             "requests": n_requests,
             **_percentiles(times),
             "samples_per_s": bs / float(np.median(times)),
+            "npz": {
+                **_percentiles(ntimes),
+                "samples_per_s": bs / float(np.median(ntimes)),
+            },
         }
     finally:
         proc.terminate()
