@@ -1,0 +1,187 @@
+"""Round-4 Pallas probe: can a hand kernel beat XLA on the CelebA
+thin-channel image stages at bf16? (VERDICT r3 missing #3 / next #6.)
+
+Target stages (tools/roofline_celeba.py: HBM-bound at bf16 in every
+roofline variant — the residual of the 27%-vs-53% MFU gap after
+member-only decode):
+
+  * enc_conv0: (B, 64, 64, 3) --4x4/2 SAME conv + swish--> (B, 32, 32, 32)
+  * dec_deconv3: (B', 16, 16, 64) --4x4/2 deconv + sigmoid-NLL input-->
+    (B', 32, 32, 32)  [probe uses the matching thin-output final stage]
+
+Method, in decision order:
+  1. Time the XLA stage (fwd and fwd+bwd) at the bench shapes; compute
+     the streaming speed-of-light (every tensor moves HBM<->VMEM once,
+     819 GB/s on v5e). If XLA already runs at >=70% of SOL the probe is
+     DEAD ON ARRIVAL — no schedule can buy back more than the residual,
+     and the entry in DESIGN.md section 10 closes with that number.
+  2. Otherwise run the Pallas tap-accumulation kernel (stride-parity
+     pre-split on the XLA side, 2x2x(4-tap) contiguous-window FMA
+     accumulation in VMEM, swish fused into the write) and report
+     kernel-vs-XLA time + bitwise-tolerance check.
+
+Usage (on the v5e):  python tools/pallas_conv_probe.py [--skip-pallas]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HBM_BW = 819.0e9  # v5e public number
+
+
+def _time(fn, *args, n=30, warmup=5):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+# ----------------------------------------------------------------- XLA
+def xla_conv0(x, w, b):
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(2, 2), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return swish(y + b)
+
+
+# -------------------------------------------------------------- Pallas
+def pallas_conv0(x, w, b, block_b: int = 8):
+    """4x4/2 SAME conv + swish via stride-parity tap accumulation.
+
+    Host-side (XLA) prep: pad to 66x66 and pre-split the input into the
+    four stride parities ``x[:, p::2, q::2, :]`` (each (B, 33, 33, 3));
+    every kernel tap (di, dj) then reads a CONTIGUOUS 32x32 window of
+    parity (di%2, dj%2) at offset (di//2, dj//2) — no strided loads in
+    the kernel. In-kernel: 16 taps x 3 input channels of broadcast FMA
+    onto the (block_b, 32, 32, 32) accumulator (output channels in
+    lanes), swish fused into the single output write. One HBM read of
+    x, one write of y — the streaming schedule XLA's im2col lowering
+    does not generate.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = x.shape[0]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    pars = [xp[:, p::2, q::2, :] for p in range(2) for q in range(2)]
+    # (B, 4, 33, 33, 3): parity-major so one ref covers all four.
+    xs = jnp.stack(pars, axis=1)
+
+    def kernel(x_ref, w_ref, b_ref, o_ref):
+        acc = jnp.zeros((block_b, 32, 32, 32), jnp.float32)
+        for di in range(4):
+            for dj in range(4):
+                par = (di % 2) * 2 + (dj % 2)
+                a, c = di // 2, dj // 2
+                win = x_ref[:, par, a : a + 32, c : c + 32, :]
+                for ci in range(3):
+                    acc = acc + (
+                        win[..., ci : ci + 1].astype(jnp.float32)
+                        * w_ref[di, dj, ci, :].astype(jnp.float32)
+                    )
+        y = acc + b_ref[:].astype(jnp.float32)
+        o_ref[:] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, 32, 32, 32), x.dtype),
+        grid=(B // block_b,),
+        in_specs=[
+            pl.BlockSpec(
+                (block_b, 4, 33, 33, 3),
+                lambda i: (i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_b, 32, 32, 32), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )(xs, w, b)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-pallas", action="store_true")
+    ap.add_argument("--batch", type=int, default=256)
+    args = ap.parse_args()
+
+    B = args.batch
+    key = jax.random.key(0)
+    dt = jnp.bfloat16
+    x = jax.random.uniform(key, (B, 64, 64, 3), dt)
+    w = (jax.random.normal(jax.random.key(1), (4, 4, 3, 32)) * 0.1).astype(dt)
+    b = jnp.zeros((32,), dt)
+
+    report = {"batch": B, "dtype": "bfloat16"}
+
+    # --- XLA stage, fwd
+    f = jax.jit(xla_conv0)
+    t_fwd = _time(f, x, w, b)
+    bytes_fwd = (x.size + w.size + b.size + B * 32 * 32 * 32) * 2
+    sol_fwd = bytes_fwd / HBM_BW
+    report["xla_fwd_us"] = t_fwd * 1e6
+    report["sol_fwd_us"] = sol_fwd * 1e6
+    report["xla_fwd_pct_sol"] = 100 * sol_fwd / t_fwd
+
+    # --- XLA stage, fwd+bwd (the training cost)
+    g = jax.jit(jax.grad(lambda x, w, b: xla_conv0(x, w, b).sum(), (0, 1)))
+    t_bwd = _time(g, x, w, b)
+    # bwd re-reads x and dY and writes dX, dW: ~3 streams + fwd's 2.
+    bytes_bwd = (2 * x.size + 2 * B * 32 * 32 * 32 + 2 * w.size) * 2
+    report["xla_fwdbwd_us"] = t_bwd * 1e6
+    report["sol_fwdbwd_us"] = bytes_bwd / HBM_BW * 1e6
+    report["xla_fwdbwd_pct_sol"] = 100 * (bytes_bwd / HBM_BW) / t_bwd
+
+    print(json.dumps(report, indent=2))
+
+    if report["xla_fwd_pct_sol"] >= 70.0:
+        print(
+            "VERDICT: XLA runs at >=70% of HBM streaming SOL on the "
+            "thin-channel stage -- a hand Pallas schedule cannot win "
+            "more than the residual; probe KILLED by measurement."
+        )
+        if args.skip_pallas:
+            return
+    if args.skip_pallas:
+        return
+
+    # --- Pallas variant
+    p = jax.jit(pallas_conv0)
+    want = np.asarray(f(x, w, b), np.float32)
+    got = np.asarray(p(x, w, b), np.float32)
+    err = np.max(np.abs(want - got)) / (np.max(np.abs(want)) + 1e-9)
+    t_pal = _time(p, x, w, b)
+    print(json.dumps({
+        "pallas_fwd_us": t_pal * 1e6,
+        "pallas_vs_xla": t_fwd / t_pal,
+        "pallas_rel_err": float(err),
+    }, indent=2))
+    if t_pal < t_fwd and err < 2e-2:
+        print("VERDICT: Pallas wins the forward stage -- consider "
+              "promoting + writing the custom VJP.")
+    else:
+        print("VERDICT: Pallas does not beat XLA here; probe KILLED "
+              "by measurement.")
+
+
+if __name__ == "__main__":
+    main()
