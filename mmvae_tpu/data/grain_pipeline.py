@@ -65,7 +65,7 @@ def epoch_plan(
     steps = n // batch_size
     if steps == 0:
         raise ValueError(
-            f"grain epoch plan is empty: dataset size {n} < "
+            f"grain epoch yields no batches: dataset size {n} < "
             f"batch_size {batch_size}"
         )
     perm = perm[: steps * batch_size]
