@@ -1,14 +1,20 @@
 """Measure the Grain data backend's training throughput vs the
-device-resident path (round-2 VERDICT item #10: "record the Grain
-throughput delta in BASELINE.md").
+device-resident path.
 
-Same model/shapes as bench.py's reference point (MNIST f32, batch 100,
-200 steps/epoch). The device path is the in-program shuffle+gather
-runner; the grain path re-stacks the epoch on host (Grain shuffle +
-per-epoch host->device transfer), which is exactly what
-``api.train(data_backend="grain")`` does.
+Round 2 recorded the delta (grain 8.7k vs 366k on the MNIST point);
+round 4 rebuilt the backend (vectorized batch assembly + segment-
+streamed double buffering, api._GrainStream) with the VERDICT target:
+grain-backed CelebA f32 within ~15% of the 37k device-resident rate,
+or a measured proof of what binds.
 
-Usage: python tools/grain_throughput.py  (prints one JSON line)
+Measures, per config (mnist f32/batch100 -- bench.py's reference
+point -- and celeba f32/batch64 -- the flagship):
+  * serial grain epochs (host gather inline, no overlap)
+  * the production streamed path (_GrainStream.run_epoch: worker
+    gathers ahead, main-thread transfers), whole-epoch and segmented
+  * the device-resident in-program gather runner (the perf path)
+
+Usage: python tools/grain_throughput.py  (prints one JSON line per config)
 """
 
 from __future__ import annotations
@@ -23,34 +29,55 @@ sys.path.insert(
 )
 
 
-def measure_grain(batch: int = 100, steps: int = 200, n_epochs: int = 10):
-    import numpy as np
-
+def _setup(config_name: str, batch: int, steps: int, stream_steps: int):
     import jax
 
-    from bench import N_LATENTS
     from mmvae_tpu import api
     from mmvae_tpu.configs import get_config
     from mmvae_tpu.data import load_dataset
-    from mmvae_tpu.models import MnistMVAE
+    from mmvae_tpu.models import CelebAMVAE, MnistMVAE
     from mmvae_tpu.train import create_train_state, make_epoch_runner
 
-    config = get_config("mnist").replace(
-        n_latents=N_LATENTS,
+    if config_name == "mnist":
+        from bench import N_LATENTS
+
+        model = MnistMVAE(n_latents=N_LATENTS)
+        n_sub = 0
+    else:
+        model = CelebAMVAE(n_latents=100)
+        n_sub = 4
+    config = get_config(config_name).replace(
         batch_size=batch,
         train_size=batch * steps,
         data_backend="grain",
+        grain_stream_steps=stream_steps,
+        n_random_subsets=n_sub,
     )
-    model = MnistMVAE(n_latents=N_LATENTS)
-    ds = load_dataset("mnist", n=batch * steps, seed=0)
+    ds = load_dataset(config_name, n=batch * steps, seed=0)
     state = create_train_state(
         model,
         {k: v[:batch] for k, v in ds.arrays.items()},
         jax.random.key(0),
         1e-3,
     )
-    runner = make_epoch_runner(model, annealing_steps=1000)
+    runner = make_epoch_runner(
+        model, annealing_steps=1000, n_random_subsets=n_sub,
+        term_fold="t",
+    )
+    return api, config, ds, model, state, runner
 
+
+def measure_grain(
+    config_name: str, batch: int, steps: int, n_epochs: int,
+    stream_steps: int = 0,
+):
+    import numpy as np
+
+    api, config, ds, model, state, runner = _setup(
+        config_name, batch, steps, stream_steps
+    )
+
+    # --- serial: inline host gather each epoch, no overlap.
     def epoch_serial(seed):
         nonlocal state
         batches = api._grain_epoch(ds, config, model, seed)
@@ -64,42 +91,61 @@ def measure_grain(batch: int = 100, steps: int = 200, n_epochs: int = 10):
         epoch_serial(i + 1)
     serial_dt = time.perf_counter() - t0
 
-    # The prefetched path api.train actually runs (round 3): epoch k+1's
-    # grain loading + host stacking overlap epoch k's device scan +
-    # metrics fetch on a single worker thread; the transfer stays on
-    # the main thread (see api._GrainPrefetcher on why).
-    pf = api._GrainPrefetcher(ds, config, model)
+    # --- the streamed path api.train actually runs (round 4).
+    st = api._GrainStream(ds, config, model)
     try:
-        pf.schedule(100)
+        st.schedule((100, 0))
         t0 = time.perf_counter()
         for i in range(n_epochs):
-            batches = pf.take(100 + i)
             # state is DONATED into the scan -- rebind, as api.train does.
-            state, ms = runner(state, batches)
-            pf.schedule(100 + i + 1)
+            state, ms = st.run_epoch(
+                state, runner, 100 + i, next_seed=100 + i + 1
+            )
             float(np.asarray(ms["loss"]).sum())
-        prefetch_dt = time.perf_counter() - t0
+        stream_dt = time.perf_counter() - t0
     finally:
-        pf.close()
+        st.close()
     n = batch * steps * n_epochs
-    return n / serial_dt, n / prefetch_dt
+    return n / serial_dt, n / stream_dt
 
 
 def main() -> None:
-    from bench import measure_jax
+    from bench import measure_jax, measure_jax_celeba
 
-    serial_sps, prefetch_sps = measure_grain()
-    device = measure_jax(n_epochs=10)
-    line = {
-        "grain_samples_per_sec": round(prefetch_sps, 1),
-        "grain_serial_samples_per_sec": round(serial_sps, 1),
-        "prefetch_speedup": round(prefetch_sps / serial_sps, 3),
-        "device_samples_per_sec": round(device["samples_per_sec"], 1),
-        "grain_vs_device": round(
-            prefetch_sps / device["samples_per_sec"], 3
-        ),
-    }
-    print(json.dumps(line))
+    out = {}
+    for name, batch, steps, epochs, seg in (
+        ("mnist", 100, 200, 10, 0),
+        ("mnist", 100, 200, 10, 50),
+        ("celeba", 64, 50, 8, 0),
+        ("celeba", 64, 50, 8, 10),
+    ):
+        serial_sps, stream_sps = measure_grain(
+            name, batch, steps, epochs, stream_steps=seg
+        )
+        key = f"{name}_seg{seg}" if seg else name
+        out[key] = {
+            "grain_stream_samples_per_sec": round(stream_sps, 1),
+            "grain_serial_samples_per_sec": round(serial_sps, 1),
+        }
+    device_mnist = measure_jax(n_epochs=10)
+    device_celeba = measure_jax_celeba()
+    out["mnist"]["device_samples_per_sec"] = round(
+        device_mnist["samples_per_sec"], 1
+    )
+    out["mnist"]["grain_vs_device"] = round(
+        out["mnist"]["grain_stream_samples_per_sec"]
+        / device_mnist["samples_per_sec"],
+        3,
+    )
+    out["celeba"]["device_samples_per_sec"] = round(
+        device_celeba["samples_per_sec"], 1
+    )
+    out["celeba"]["grain_vs_device"] = round(
+        out["celeba"]["grain_stream_samples_per_sec"]
+        / device_celeba["samples_per_sec"],
+        3,
+    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
