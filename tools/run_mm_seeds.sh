@@ -1,0 +1,27 @@
+#!/bin/bash
+# Round-4 VERDICT item #9: seed the MultiMNIST default-vs-"both"
+# decision. The blocker was two SINGLE-RUN deltas (default better by
+# ~2pt image->text exact and ~18 ELBO nats; "both" better on round trip
+# + sharp renders). Train each variant at 3 seeds (seed 0 = the
+# round-3 artifacts, reused when present) and tabulate.
+set -ex
+cd "$(dirname "$0")/.."
+RUNS=${RUNS:-/tmp/mm_seeds}
+mkdir -p "$RUNS"
+
+for seed in 0 1 2; do
+  for variant in default both; do
+    name="mm_${variant}_s${seed}"
+    if [ ! -f "$RUNS/$name/quality.json" ]; then
+      if [ "$variant" = both ]; then
+        python -m mmvae_tpu.cli train --config multimnist --seed "$seed" \
+          --workdir "$RUNS/$name" --config-file tools/mm_bin_both.json
+      else
+        python -m mmvae_tpu.cli train --config multimnist --seed "$seed" \
+          --workdir "$RUNS/$name"
+      fi
+      python tools/quality_check.py multimnist "$RUNS/$name"
+    fi
+  done
+done
+echo ALL_SEED_RUNS_DONE
