@@ -43,6 +43,10 @@ import time
 
 import numpy as np
 
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 
 # ------------------------------------------------------------------ IDX
 def write_idx(path: str, arr: np.ndarray) -> None:
@@ -154,8 +158,13 @@ def gen_cub_tree(root: str, n=11788, n_classes=200, chunk=2000) -> None:
 
 # ---------------------------------------------------------------- train
 def rehearse(name: str, root: str, epochs: int, train_size: int,
-             test_size: int) -> dict:
-    """Real-format tree -> grain-backed training -> quality row."""
+             test_size: int, data_dtype: str = "uint8") -> dict:
+    """Real-format tree -> grain-backed training -> quality row.
+
+    data_dtype defaults uint8: EXACT for this 8-bit-native disk data
+    (BASELINE.md dtype section) and quarters the bytes shipped through
+    the ~10-37 MB/s axon relay, which binds the grain path in this
+    environment (BASELINE.md grain delta)."""
     os.environ["MMVAE_DATA_DIR"] = root
     from mmvae_tpu import api
     from mmvae_tpu.configs import get_config
@@ -165,6 +174,7 @@ def rehearse(name: str, root: str, epochs: int, train_size: int,
         train_size=train_size,
         test_size=test_size,
         data_backend="grain",
+        data_dtype=data_dtype,
     )
     t0 = time.time()
     res = api.train(cfg, None, verbose=True)
@@ -174,6 +184,7 @@ def rehearse(name: str, root: str, epochs: int, train_size: int,
         "dataset": name,
         "provenance": "disk standard formats via MMVAE_DATA_DIR",
         "backend": "grain",
+        "data_dtype": data_dtype,
         "train_size": train_size,
         "test_size": test_size,
         "epochs": epochs,
@@ -193,6 +204,9 @@ def main():
     ap.add_argument("--cub-n", type=int, default=11788)
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument("--gen-only", action="store_true",
+                    help="generate the trees and exit (lets the "
+                    "CPU-bound generation overlap other TPU work)")
     ap.add_argument("--out", default="docs/experiments/dress_rehearsal.json")
     args = ap.parse_args()
 
@@ -209,6 +223,9 @@ def main():
             elif name == "cub":
                 gen_cub_tree(args.root, n=args.cub_n)
             print(f"  {name}: {time.time() - t0:.0f}s", flush=True)
+    if args.gen_only:
+        print("GEN_DONE")
+        return 0
 
     sizes = {
         # train_size/test_size: full IDX train split for mnist; celeba

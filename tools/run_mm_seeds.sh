@@ -2,8 +2,9 @@
 # Round-4 VERDICT item #9: seed the MultiMNIST default-vs-"both"
 # decision. The blocker was two SINGLE-RUN deltas (default better by
 # ~2pt image->text exact and ~18 ELBO nats; "both" better on round trip
-# + sharp renders). Train each variant at 3 seeds (seed 0 = the
-# round-3 artifacts, reused when present) and tabulate.
+# + sharp renders). Train each variant at 3 seeds and tabulate.
+# ckpt_every=10 on BOTH arms (amortizes the ~10 MB/s relay state
+# fetch; cadence identical across arms so the comparison is fair).
 set -ex
 cd "$(dirname "$0")/.."
 RUNS=${RUNS:-/tmp/mm_seeds}
@@ -14,10 +15,10 @@ for seed in 0 1 2; do
     name="mm_${variant}_s${seed}"
     if [ ! -f "$RUNS/$name/quality.json" ]; then
       if [ "$variant" = both ]; then
-        python -m mmvae_tpu.cli train --config multimnist --seed "$seed" \
+        python -m mmvae_tpu.cli train --config multimnist --seed "$seed" --ckpt-every 10 \
           --workdir "$RUNS/$name" --config-file tools/mm_bin_both.json
       else
-        python -m mmvae_tpu.cli train --config multimnist --seed "$seed" \
+        python -m mmvae_tpu.cli train --config multimnist --seed "$seed" --ckpt-every 10 \
           --workdir "$RUNS/$name"
       fi
       python tools/quality_check.py multimnist "$RUNS/$name"
