@@ -22,10 +22,21 @@ Layout rules (``tp_param_specs``):
   parallelism: each model-group owns ``18/tp`` attribute experts
   end-to-end with zero collectives inside the bank (the vmapped einsum
   is elementwise in the bank axis).
-* **Everything else replicates**: conv/deconv kernels (the image
-  stacks at these widths lose more to halo/reshard than they gain —
-  DP/FSDP cover them), GRU cells, embeddings, scalars, and any kernel
-  whose dim does not divide the model axis.
+* **Conv/deconv stacks** (round 4 — previously replicated): the same
+  alternating recipe over CHANNELS, which is halo-free (halos only
+  arise for spatial sharding): column-parallel shards the kernel's
+  output-channel axis (``P(None, None, None, "model")``, bias
+  ``P("model")``), row-parallel the input-channel axis, one psum per
+  pair. Convs and Denses alternate as SEPARATE chains, each starting
+  and ending replicated — the boundary between them is a flatten /
+  spatial reshape, where a channel-sharded operand would merge its
+  sharded axis into an unsharded one (not GSPMD-representable without
+  a gather, the same lesson as the b-major term fold); independent
+  chains also make the layout independent of execution order. The
+  thin first/last image layers (3-channel RGB) replicate naturally
+  via the divisibility rule.
+* **Everything else replicates**: GRU cells, embeddings, scalars, and
+  any kernel whose dim does not divide the model axis.
 
 Correctness is layout-independent (GSPMD inserts whatever resharding a
 legal-but-slow assignment needs); the parity tests in tests/test_tp.py
@@ -52,6 +63,7 @@ __all__ = [
 ]
 
 _DENSE = re.compile(r"^Dense_(\d+)$")
+_CONV = re.compile(r"^(?:Conv|ConvTranspose)_(\d+)$")
 
 
 def make_mesh_2d(
@@ -99,46 +111,79 @@ def _is_bank(module: dict, n_shards: int) -> bool:
     )
 
 
+def _chain_walk(
+    module: dict, names: list[str], n_shards: int, col_dim, row_dim
+) -> list[tuple[str, str]]:
+    """Assign col/row/col/... along one layer chain in index order; a
+    layer whose needed dim does not divide replicates and the pattern
+    continues on the next layer. The chain must END replicated (its
+    output feeds fusion / NLL / a flatten boundary), so a trailing
+    ``col`` demotes to ``rep``."""
+    out: list[tuple[str, str]] = []
+    want_col = True
+    for name in names:
+        kern = module[name]["kernel"]
+        dim = col_dim(kern) if want_col else row_dim(kern)
+        if dim % n_shards == 0:
+            out.append((name, "col" if want_col else "row"))
+            want_col = not want_col
+        else:
+            out.append((name, "rep"))
+    if out and out[-1][1] == "col":
+        out[-1] = (out[-1][0], "rep")
+    return out
+
+
 def _dense_specs(module: dict, n_shards: int, axis: str) -> dict:
-    """Alternating column/row specs for the Dense_* layers of one module."""
+    """Alternating column/row specs for the Dense_* AND Conv/
+    ConvTranspose_* layers of one module (two independent chains --
+    see the module docstring on why they don't alternate across the
+    flatten boundary)."""
     specs = {
         name: jax.tree.map(lambda _: P(), child)
         for name, child in module.items()
     }
-    dense = sorted(
-        (int(m.group(1)), name)
-        for name, child in module.items()
-        if (m := _DENSE.match(name))
-        and isinstance(child, dict)
-        and getattr(child.get("kernel"), "ndim", 0) == 2
+
+    def chain(pattern, kernel_ndim):
+        found = []
+        for name, child in module.items():
+            m = pattern.match(name)
+            if (
+                m
+                and isinstance(child, dict)
+                and getattr(child.get("kernel"), "ndim", 0)
+                == kernel_ndim
+            ):
+                found.append((int(m.group(1)), name))
+        return [name for _, name in sorted(found)]
+
+    assignments: list[tuple[str, str]] = []
+    # Dense chain: kernel (in, out) -- col shards out, row shards in.
+    assignments += _chain_walk(
+        module, chain(_DENSE, 2), n_shards,
+        col_dim=lambda k: k.shape[1], row_dim=lambda k: k.shape[0],
     )
-    # Walk in index order, assigning col/row/col/...; a layer whose
-    # needed dim does not divide replicates and the pattern continues
-    # on the next layer.
-    specs_list: list[tuple[str, str]] = []
-    want_col = True
-    for _, name in dense:
-        kern = module[name]["kernel"]
-        dim = kern.shape[1] if want_col else kern.shape[0]
-        if dim % n_shards == 0:
-            specs_list.append((name, "col" if want_col else "row"))
-            want_col = not want_col
-        else:
-            specs_list.append((name, "rep"))
-    # Odd stack: the last sharded layer would leave the module output
-    # sharded on the model axis — replicate it instead so the stack's
-    # output (posterior params / logits) is replicated.
-    if specs_list and specs_list[-1][1] == "col":
-        specs_list[-1] = (specs_list[-1][0], "rep")
-    for name, kind in specs_list:
+    # Conv/deconv chain: kernel (kh, kw, in, out) for both Conv and
+    # ConvTranspose in flax -- col shards the output-channel axis,
+    # row the input-channel axis; channel sharding is halo-free.
+    assignments += _chain_walk(
+        module, chain(_CONV, 4), n_shards,
+        col_dim=lambda k: k.shape[3], row_dim=lambda k: k.shape[2],
+    )
+    for name, kind in assignments:
         if kind == "rep":
             continue
         col = kind == "col"
+        kern_ndim = module[name]["kernel"].ndim
+        if col:
+            kspec = P(*([None] * (kern_ndim - 1) + [axis]))
+        else:
+            kspec = P(*([None] * (kern_ndim - 2) + [axis, None]))
         # Only keys the layer actually has (use_bias=False Dense):
         # the returned tree must match the params structure exactly.
         specs[name] = {
             k: (
-                (P(None, axis) if col else P(axis, None))
+                kspec
                 if k == "kernel"
                 else (P(axis) if col else P())
             )

@@ -62,8 +62,17 @@ def test_tp_bank_specs():
     assert specs["attr_enc"]["w1"] == P("model", None, None)
     assert specs["attr_enc"]["b2"] == P("model", None)
     assert specs["attr_dec"]["b2"] == P("model")
-    # ...conv kernels replicate.
-    assert specs["image_enc"]["Conv_0"]["kernel"] == P()
+    # ...and the conv chain alternates channel-wise col/row (round 4):
+    # Conv_0 (3 -> 8) shards output channels, Conv_1 (8 -> 16)
+    # contracts sharded input channels (one psum per pair).
+    assert specs["image_enc"]["Conv_0"]["kernel"] == P(
+        None, None, None, "model"
+    )
+    assert specs["image_enc"]["Conv_0"]["bias"] == P("model")
+    assert specs["image_enc"]["Conv_1"]["kernel"] == P(
+        None, None, "model", None
+    )
+    assert specs["image_enc"]["Conv_1"]["bias"] == P()
 
 
 def test_tp_rule_edge_cases():
@@ -201,6 +210,16 @@ def test_tp_celeba_bank_parity():
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4
         )
     assert not st.params["attr_enc"]["w1"].sharding.is_fully_replicated
+    # Round 4: the image stack is sharded too and STAYS sharded
+    # through the update (channel-wise col/row chain).
+    assert st.params["image_enc"]["Conv_0"]["kernel"].sharding.spec == P(
+        None, None, None, "model"
+    )
+    assert st.params["image_dec"]["ConvTranspose_0"][
+        "kernel"
+    ].sharding.spec in (
+        P(None, None, None, "model"), P(None, None, "model", None),
+    )
 
 
 def test_tp_via_api_train(tmp_path):
