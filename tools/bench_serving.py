@@ -133,10 +133,21 @@ def _bench_http(path, config_name, bs, n_requests, names):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
+    import jax
+
+    cmd = [
+        sys.executable,
+        os.path.join(os.path.dirname(__file__), "serve.py"),
+        path, str(port),
+    ]
+    if jax.devices()[0].platform == "cpu":
+        # Keep the server on the SAME backend as the in-process rows
+        # it is compared against (the axon sitecustomize would
+        # otherwise put the subprocess's artifact on the remote TPU
+        # and the "hosting tax" would silently include a relay call).
+        cmd += ["--platform", "cpu"]
     proc = subprocess.Popen(
-        [sys.executable, os.path.join(os.path.dirname(__file__), "serve.py"),
-         path, str(port)],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
     )
     try:
         url = f"http://127.0.0.1:{port}/generate"

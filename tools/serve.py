@@ -338,6 +338,13 @@ def make_handler(meta, call, batcher=None):
         }
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 keep-alive (Content-Length is always set below) and
+        # no Nagle: the round-4 wire-format bench found a ~50 ms
+        # constant per-request tax on localhost that was mostly TCP
+        # behavior (Nagle x delayed-ACK on the split header/body
+        # writes + a fresh connection per request), not serialization.
+        protocol_version = "HTTP/1.1"
+        disable_nagle_algorithm = True
         def _reply(self, code, obj):
             body = json.dumps(obj).encode()
             self.send_response(code)
@@ -461,7 +468,17 @@ def main() -> int:
                     help="how long a request waits for co-batchers")
     ap.add_argument("--no-batch", action="store_true",
                     help="serve one request per device call")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu) BEFORE the "
+                    "artifact loads -- the axon sitecustomize pins "
+                    "jax_platforms=axon,cpu via jax.config, so the "
+                    "JAX_PLATFORMS env var alone cannot keep a "
+                    "CPU-exported artifact off the remote TPU")
     args = ap.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     server, meta, batcher = make_server(
         args.artifact, args.port, max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms, batching=not args.no_batch,
