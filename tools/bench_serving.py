@@ -85,7 +85,14 @@ def bench_artifact(
         for i in range(n_requests):
             t0 = time.perf_counter()
             out = call(batch, presence, i, 1.0)
-            jax.block_until_ready(out)
+            # Full host fetch, not block_until_ready: on the axon
+            # relay block_until_ready returns EARLY, so the old timing
+            # excluded the device->host result fetch that any real
+            # consumer (and the HTTP host) must pay -- which made the
+            # HTTP rows look ~30 ms worse than in-process when most of
+            # that was the fetch both sides actually share.
+            for v in out.values():
+                np.asarray(v)
             times.append(time.perf_counter() - t0)
         row = {
             "config": config_name,
