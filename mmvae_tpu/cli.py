@@ -18,13 +18,12 @@ import numpy as np
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
-    p.add_argument(
-        "--config", required=True,
-        choices=[
-            "mnist", "deep_mnist", "fashionmnist", "multimnist",
-            "celeba", "cub",
-        ],
-    )
+    from mmvae_tpu.configs import CONFIGS
+
+    # Derived, not hardcoded: a config registered in CONFIGS is
+    # reachable from the CLI by construction (deep_cub was silently
+    # unreachable for a few hours of round 4).
+    p.add_argument("--config", required=True, choices=list(CONFIGS))
     p.add_argument("--workdir", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
