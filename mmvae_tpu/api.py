@@ -848,12 +848,15 @@ def eval_elbo(
     split: str = "test",
     batch_size: int | None = None,
     dtype=jnp.float32,
+    mesh=None,
 ) -> float:
     """Mean multi-term ELBO over a split -- the parity metric [B:2].
 
     beta pinned to 1, z = posterior mean (SURVEY.md 3c). Provide either
     ``params`` (+ ``model``) or a ``workdir`` with a checkpoint (its
     config snapshot is used when only a config name was given).
+    ``mesh`` shards the split over the data mesh (same semantics and
+    fallback as :func:`log_likelihood`).
     """
     config = _resolve_with_workdir(config, workdir)
     if model is None:
@@ -872,6 +875,7 @@ def eval_elbo(
         objective=getattr(config, "objective", "mvae"),
         mvtcae_alpha=getattr(config, "mvtcae_alpha", 0.9),
         member_prune=getattr(config, "member_prune", True),
+        mesh=mesh,
     )(params)
 
 

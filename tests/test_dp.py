@@ -670,3 +670,19 @@ def test_mesh_sharded_iwae_matches_single_device(setup):
         mesh=make_mesh(),
     )
     np.testing.assert_allclose(ll8, ll1, rtol=1e-5)
+
+
+def test_eval_elbo_api_takes_mesh(setup):
+    """Public eval_elbo accepts a mesh like log_likelihood does."""
+    from mmvae_tpu import api
+    from mmvae_tpu.configs import get_config
+
+    model, _, fresh_state = setup
+    cfg = get_config("mnist").replace(n_latents=8, batch_size=32)
+    ds = load_dataset("mnist", n=64, seed=1)
+    params = fresh_state().params
+    e1 = api.eval_elbo(cfg, model=model, params=params, dataset=ds)
+    e8 = api.eval_elbo(
+        cfg, model=model, params=params, dataset=ds, mesh=make_mesh()
+    )
+    np.testing.assert_allclose(e8, e1, rtol=1e-5)
