@@ -117,29 +117,29 @@ def _cast_source_arrays(
     Same bandwidth knob as the device backend: float modalities ship
     and stream as bf16 (halves the host->device transfer AND the
     per-step HBM batch read) or uint8 (quarter bytes, exact for
-    8-bit-native real data; dequantized in-program -- one shared
-    quantizer with the device path, data/pipelines.py). int/token
-    modalities untouched. Casting the SOURCE (not each stacked epoch)
-    makes the cast a one-time cost and shrinks every subsequent
-    per-epoch gather's bytes -- the gather is the whole host cost of a
-    grain epoch now (data/grain_pipeline.py). Cast-then-gather equals
-    gather-then-cast bit-for-bit (the cast is elementwise), so the
-    trajectory is unchanged. The presence mask never passes through
-    here (it is plan-derived, not source data -- see
+    8-bit-native real data; dequantized in-program). Casting the
+    SOURCE (not each stacked epoch) makes the cast a one-time cost and
+    shrinks every subsequent per-epoch gather's bytes -- the gather is
+    the whole host cost of a grain epoch now (data/grain_pipeline.py).
+    Cast-then-gather equals gather-then-cast bit-for-bit (elementwise),
+    so the trajectory is unchanged. The presence mask never passes
+    through here (it is plan-derived, not source data -- see
     ``grain_pipeline.epoch_plan``), staying float32 as the step
-    requires."""
+    requires.
+
+    Delegates to ``data.pipelines.dataset_astype`` so the grain and
+    device backends share ONE cast implementation -- the quantizer
+    contract (pipelines.quantize_uint8) says the two must stay
+    rounding-identical, which rules out a second copy of the
+    selection logic here."""
     if data_dtype == "float32":
         return arrays
-    from mmvae_tpu.data.pipelines import quantize_uint8
+    from mmvae_tpu.data.pipelines import Dataset, dataset_astype
 
-    dt = _DATA_DTYPES[data_dtype]
-    cast = quantize_uint8 if dt == jnp.uint8 else (
-        lambda v: v.astype(dt)
-    )
-    return {
-        k: (cast(v) if v.dtype == np.float32 else v)
-        for k, v in arrays.items()
-    }
+    size = len(next(iter(arrays.values())))
+    return dataset_astype(
+        Dataset(arrays=arrays, size=size), _DATA_DTYPES[data_dtype]
+    ).arrays
 
 
 def _grain_epoch_host(
@@ -185,6 +185,33 @@ def _grain_epoch(train_ds, config, model, seed: int, sharding=None):
     return _stacked_to_device(
         _grain_epoch_host(train_ds, config, model, seed), sharding
     )
+
+
+class _LazyConcatMetrics:
+    """Per-key lazy concatenation of per-segment metric dicts.
+
+    The train loop reads ``ms["loss"]`` every epoch but the other ~8
+    metric keys only when a writer is attached; eagerly fetching every
+    key forces n_segs x n_keys blocking device->host reads per epoch
+    on the latency-bound relay. Concatenate (and fetch) per key on
+    first access, cache the result."""
+
+    def __init__(self, mss: list):
+        self._mss = mss
+        self._cache: dict[str, np.ndarray] = {}
+
+    def __contains__(self, name) -> bool:
+        return name in self._mss[0]
+
+    def __iter__(self):
+        return iter(self._mss[0])
+
+    def __getitem__(self, name) -> np.ndarray:
+        if name not in self._cache:
+            self._cache[name] = np.concatenate(
+                [np.asarray(m[name]) for m in self._mss]
+            )
+        return self._cache[name]
 
 
 class _GrainStream:
@@ -239,6 +266,14 @@ class _GrainStream:
         self._names = [s.name for s in model.specs()]
         self._sharding = sharding
         self._steps = train_ds.size // config.batch_size
+        if self._steps == 0:
+            # Surface the informative error at construction (the old
+            # prefetcher surfaced it on the first take; a bare
+            # ZeroDivisionError below would lose the batch-size hint).
+            raise ValueError(
+                f"grain epoch yields no batches: train_size "
+                f"{train_ds.size} < batch_size {config.batch_size}"
+            )
         seg = int(getattr(config, "grain_stream_steps", 0) or 0)
         self._seg_steps = (
             self._steps if seg <= 0 else min(seg, self._steps)
@@ -315,12 +350,7 @@ class _GrainStream:
             mss.append(ms)
         if len(mss) == 1:
             return state, mss[0]
-        return state, {
-            name: np.concatenate(
-                [np.asarray(m[name]) for m in mss]
-            )
-            for name in mss[0]
-        }
+        return state, _LazyConcatMetrics(mss)
 
     def close(self) -> None:
         self._pool.shutdown(wait=False, cancel_futures=True)
@@ -426,6 +456,12 @@ def train(
     train_ds = load_dataset(
         config.dataset, "train", n=config.train_size,
         gen_kwargs=config.data_kwargs,
+        # The grain backend streams host->device itself (whole epochs
+        # or bounded segments); loading with device_put=True would
+        # commit the full f32 dataset to HBM first -- an OOM for the
+        # beyond-HBM datasets the stream exists for, and a wasted
+        # full-dataset round trip through the relay otherwise.
+        device_put=(config.data_backend != "grain"),
     )
     test_ds = load_dataset(
         config.dataset, "test", n=config.test_size,

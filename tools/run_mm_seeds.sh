@@ -18,8 +18,13 @@ for seed in 0 1 2; do
         python -m mmvae_tpu.cli train --config multimnist --seed "$seed" --ckpt-every 10 \
           --workdir "$RUNS/$name" --config-file tools/mm_bin_both.json
       else
+        # "default" here means the PRE-round-4 default (no binarize):
+        # round 4 promoted cycle_render_binarize="both" into the
+        # multimnist config off this very matrix, so the no-binarize
+        # arm now needs an explicit override or both arms would train
+        # the same variant.
         python -m mmvae_tpu.cli train --config multimnist --seed "$seed" --ckpt-every 10 \
-          --workdir "$RUNS/$name"
+          --workdir "$RUNS/$name" --config-file tools/mm_nobin.json
       fi
       python tools/quality_check.py multimnist "$RUNS/$name"
     fi

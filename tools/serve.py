@@ -64,7 +64,14 @@ def _npz_payload(raw: bytes) -> dict:
     Arrays named after modalities are the condition; optional 0-d
     ``seed`` / ``temperature`` arrays are the scalars. The npz layer is
     pure transport — parse_rows applies the identical validation, so
-    the two wire formats cannot drift."""
+    the two wire formats cannot drift.
+
+    RESERVED NAMES: ``seed`` and ``temperature`` in requests, ``n`` in
+    replies. A model family whose modality uses one of these names
+    could not ride the npz format (the JSON format has no such
+    collision — its condition lives under its own key); none of the
+    current families does, and ``make_server`` refuses to start
+    batching-enabled hosts for one rather than mis-parse requests."""
     import io
 
     try:
@@ -439,6 +446,18 @@ def make_server(path, port, *, max_batch=64, max_wait_ms=5.0,
     from mmvae_tpu.serving import load_generate
 
     meta, call = load_generate(path)
+    reserved = {"seed", "temperature", "n"} & (
+        set(meta.get("modalities", []))
+        | set(meta.get("batch_shapes", {}))
+    )
+    if reserved:
+        # Fail loudly at startup rather than silently consuming a
+        # modality named 'seed' as the RNG scalar on npz requests.
+        raise ValueError(
+            f"modality names {sorted(reserved)} collide with the npz "
+            "wire format's reserved names (seed/temperature/n); "
+            "rename the modality or serve JSON-only"
+        )
     batcher = None
     if batching and meta.get("seed_mode", "scalar") == "per_row":
         shapes = {
