@@ -26,15 +26,26 @@ Layout rules (``tp_param_specs``):
   alternating recipe over CHANNELS, which is halo-free (halos only
   arise for spatial sharding): column-parallel shards the kernel's
   output-channel axis (``P(None, None, None, "model")``, bias
-  ``P("model")``), row-parallel the input-channel axis, one psum per
-  pair. Convs and Denses alternate as SEPARATE chains, each starting
-  and ending replicated — the boundary between them is a flatten /
-  spatial reshape, where a channel-sharded operand would merge its
-  sharded axis into an unsharded one (not GSPMD-representable without
-  a gather, the same lesson as the b-major term fold); independent
+  ``P("model")``), row-parallel the input-channel axis. Convs and
+  Denses alternate as SEPARATE chains, each starting and ending
+  replicated — the boundary between them is a flatten / spatial
+  reshape, where a channel-sharded operand would merge its sharded
+  axis into an unsharded one (not GSPMD-representable without a
+  gather, the same lesson as the b-major term fold); independent
   chains also make the layout independent of execution order. The
   thin first/last image layers (3-channel RGB) replicate naturally
   via the divisibility rule.
+
+  HONEST SCOPE (HLO-inspected at tiny AND realistic widths, round 4):
+  GSPMD currently realizes the conv-chain layout by ALL-GATHERING the
+  sharded kernels and running the conv replicated on the model axis —
+  weight-memory sharding (ZeRO-style: params, moments and their grads
+  live model-sharded), NOT the Megatron activation-parallel schedule
+  it runs for the Dense stacks and banks. Parity holds either way
+  (tests/test_tp.py); forcing the activation-parallel conv schedule
+  would need in-model ``with_sharding_constraint`` hooks (the pp_mesh
+  pattern) and is left until a config exists whose conv width scaling
+  actually binds.
 * **Everything else replicates**: GRU cells, embeddings, scalars, and
   any kernel whose dim does not divide the model axis.
 
