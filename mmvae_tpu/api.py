@@ -8,6 +8,7 @@ checkpointing wired through all four (SURVEY.md section 5).
 
 from __future__ import annotations
 
+import collections.abc as _collections_abc
 import os
 from typing import Any, Callable, NamedTuple
 
@@ -187,24 +188,31 @@ def _grain_epoch(train_ds, config, model, seed: int, sharding=None):
     )
 
 
-class _LazyConcatMetrics:
+class _LazyConcatMetrics(_collections_abc.Mapping):
     """Per-key lazy concatenation of per-segment metric dicts.
 
     The train loop reads ``ms["loss"]`` every epoch but the other ~8
     metric keys only when a writer is attached; eagerly fetching every
     key forces n_segs x n_keys blocking device->host reads per epoch
     on the latency-bound relay. Concatenate (and fetch) per key on
-    first access, cache the result."""
+    first access, cache the result. A ``Mapping`` subclass so every
+    consumer of the plain-dict metrics (``.items()``/``.get()``/
+    ``.keys()``) works identically on the segmented path (round-4
+    ADVICE)."""
 
     def __init__(self, mss: list):
         self._mss = mss
         self._cache: dict[str, np.ndarray] = {}
 
     def __contains__(self, name) -> bool:
+        # Cheaper than Mapping's default (which would FETCH the key).
         return name in self._mss[0]
 
     def __iter__(self):
         return iter(self._mss[0])
+
+    def __len__(self) -> int:
+        return len(self._mss[0])
 
     def __getitem__(self, name) -> np.ndarray:
         if name not in self._cache:
@@ -283,6 +291,21 @@ class _GrainStream:
         self._fut = None
         self._plans: dict[int, tuple] = {}
         self._plan_lock = threading.Lock()
+        # Prefetch observability (round-4 VERDICT weak #6): a take()
+        # whose scheduled future matches is a hit; a miss computes the
+        # segment inline -- correct but serial. A persistently low
+        # hit rate means the double-buffering has silently degraded
+        # (wedged worker, scheduling bug); surfaced per epoch as the
+        # ``stream_hit_rate`` JSONL field.
+        self.hits = 0
+        self.misses = 0
+
+    @property
+    def hit_rate(self) -> float:
+        """Cumulative fraction of segment takes served by the prefetch
+        worker (NaN before the first take)."""
+        n = self.hits + self.misses
+        return self.hits / n if n else float("nan")
 
     def _plan(self, seed: int):
         """Per-epoch plan, memoized (current + lookahead epochs live at
@@ -291,8 +314,13 @@ class _GrainStream:
         only waste work, never change the result)."""
         with self._plan_lock:
             if seed not in self._plans:
-                if len(self._plans) > 4:
-                    self._plans.clear()
+                # Evict oldest-first (insertion order): the current and
+                # lookahead epochs' plans are the newest entries, so
+                # they survive -- a blanket clear() here forced a
+                # redundant O(N) replan every ~5 epochs (round-4
+                # ADVICE).
+                while len(self._plans) > 4:
+                    del self._plans[next(iter(self._plans))]
                 self._plans[seed] = epoch_plan_mod.epoch_plan(
                     self._ds.size,
                     self._config.batch_size,
@@ -324,9 +352,11 @@ class _GrainStream:
         fut, hit = self._fut, self._key == key
         self._fut = self._key = None
         if fut is not None and hit:
+            self.hits += 1
             return fut.result()
         if fut is not None:
             fut.cancel()
+        self.misses += 1
         return self._host_seg(*key)
 
     def run_epoch(self, state, runner, seed: int, next_seed=None):
@@ -838,7 +868,13 @@ def train(
         }
         history.append(record)
         if writer:
-            writer.write({"kind": "eval", **record})
+            rec = {"kind": "eval", **record}
+            if grain_stream is not None:
+                # Prefetch health of the segment stream (cumulative);
+                # a rate far below (n_takes-1)/n_takes means the
+                # double-buffering degraded to inline gathering.
+                rec["stream_hit_rate"] = grain_stream.hit_rate
+            writer.write(rec)
         if verbose and primary:
             print(
                 f"[{config.name}] epoch {epoch:3d} "

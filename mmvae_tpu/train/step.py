@@ -93,7 +93,7 @@ def _tile_terms_tmajor(tree, n_terms: int):
 
 
 def _constrain_rows(tree, mesh):
-    """Pin each leaf's leading (row) axis to the mesh's data axes.
+    """Pin each leaf's leading (row) axis to the mesh's BATCH axes.
 
     Under FSDP even rank-1 params (decoder biases) can be sharded; GSPMD
     then propagates the BIAS layout into the decode output and the NLL,
@@ -101,11 +101,22 @@ def _constrain_rows(tree, mesh):
     rematerializing them (the round-2 dryrun SPMD warning). An explicit
     row constraint on the decode pass keeps the whole decode+NLL
     batch-sharded; the tiny bias all-gather is the right cost to pay.
+
+    Batch axes = every mesh axis EXCEPT the TP model axis and the PP
+    pipe axis: batches enter replicated over those (parallel/tp.py
+    ``tp_batch_sharding``, api.py ``_eval_mesh_sharding``), so pinning
+    rows over them would force GSPMD to reshard activations across the
+    model/pipe axis mid-program and back (round-4 ADVICE) -- the
+    constraint must match the input placement it is protecting.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    batch_axes = tuple(
+        a for a in mesh.axis_names if a not in ("model", "pipe")
+    )
+
     def c(x):
-        spec = P(tuple(mesh.axis_names), *([None] * (x.ndim - 1)))
+        spec = P(batch_axes, *([None] * (x.ndim - 1)))
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(mesh, spec)
         )
