@@ -109,6 +109,14 @@ class ExperimentConfig:
     # double-buffered host gather + transfer (api._GrainStream) --
     # bounded memory (O(2 segments) host, O(1-2 segments) HBM) for
     # beyond-HBM datasets, trajectory bit-identical to whole-epoch
+    eval_segment_steps: int = -1  # eval-split delivery granularity:
+    # 0 keeps the padded split device-resident for the whole run (one
+    # transfer, fastest); K>0 keeps it host-resident and streams K
+    # batches at a time per eval (O(1 segment) HBM -- the eval half of
+    # the beyond-HBM lane, api._make_split_evaluator); -1 = auto:
+    # follow grain_stream_steps on the grain backend (a dataset big
+    # enough to stream for training should not pre-stack its eval
+    # split either), 0 otherwise
     data_dtype: str = "float32"  # stacked-batch storage dtype for float
     # modalities ("bfloat16" halves the per-step HBM batch read; measured
     # 2.3x on the MNIST bf16 point with identical loss trajectories --
