@@ -454,6 +454,10 @@ def train(
         from mmvae_tpu.parallel import make_mesh_2d
 
         mesh = make_mesh_2d(tp)
+        # The TRAIN step runs the TP execution variant (in-model conv
+        # activation constraints -- same parameter tree); eval,
+        # sampling and checkpoint templates keep the sequential one.
+        train_model = build_model(config, dtype=dtype, tp_mesh=mesh)
     elif pp > 1:
         if not use_mesh or len(jax.devices()) % pp:
             raise ValueError(

@@ -272,10 +272,18 @@ def get_config(name: str) -> ExperimentConfig:
     return CONFIGS[name]
 
 
-def build_model(config: ExperimentConfig, dtype=jnp.float32, pp_mesh=None):
+def build_model(
+    config: ExperimentConfig, dtype=jnp.float32, pp_mesh=None,
+    tp_mesh=None,
+):
     """Model from a config. ``pp_mesh`` builds the PIPELINED execution
     variant (same parameter tree as the sequential default — states and
-    checkpoints move freely between the two; models/pipeline.py)."""
+    checkpoints move freely between the two; models/pipeline.py).
+    ``tp_mesh`` builds the TP execution variant: conv activations are
+    pinned to the col/row chain layout so the conv FLOPs run
+    model-parallel (models/experts.py) — also the same parameter tree;
+    models without conv chains (mnist) ignore it (their Dense stacks
+    need no in-model hooks)."""
     cls = _MODEL_CLASSES[config.name]
     kwargs = dict(config.model_kwargs)
     if config.dataset == "cub" and "vocab_size" not in kwargs:
@@ -287,6 +295,10 @@ def build_model(config: ExperimentConfig, dtype=jnp.float32, pp_mesh=None):
                 "pp>1 needs a trunk model (deep_cub or deep_mnist)"
             )
         kwargs["pp_mesh"] = pp_mesh
+    if tp_mesh is not None and "tp_mesh" in {
+        f.name for f in dataclasses.fields(cls)
+    }:
+        kwargs["tp_mesh"] = tp_mesh
     return cls(n_latents=config.n_latents, dtype=dtype, **kwargs)
 
 

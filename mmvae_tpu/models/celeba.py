@@ -14,6 +14,8 @@ unimodal terms (SURVEY.md 2.8).
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 
 from mmvae_tpu.ops import bernoulli_nll
@@ -44,6 +46,11 @@ class CelebAMVAE(MVAEBase):
     # perf knob, default is the reference-shaped deconv stack
     upsample_mode: str = "deconv"
     dtype: jnp.dtype = jnp.float32
+    # TP activation hooks for the conv chains (experts.py ConvEncoder/
+    # DeconvDecoder.tp_mesh); set by build_model(tp_mesh=...) on the
+    # training variant only -- adds no params, so states/checkpoints
+    # move freely between the TP and sequential variants.
+    tp_mesh: Any = None
 
     def specs(self):
         return (ModalitySpec("image", "bernoulli", self.lambda_image),) + tuple(
@@ -55,7 +62,8 @@ class CelebAMVAE(MVAEBase):
         kw = dict(dtype=self.dtype)
         self.image_enc = ConvEncoder(
             self.n_latents, features=self.conv_features,
-            space_to_depth=self.space_to_depth, **kw
+            space_to_depth=self.space_to_depth, tp_mesh=self.tp_mesh,
+            **kw
         )
         self.image_dec = DeconvDecoder(
             self.image_hw,
@@ -63,6 +71,7 @@ class CelebAMVAE(MVAEBase):
             features=tuple(reversed(self.conv_features)),
             space_to_depth=self.space_to_depth,
             upsample_mode=self.upsample_mode,
+            tp_mesh=self.tp_mesh,
             **kw,
         )
         self.attr_enc = AttributeEncoderBank(

@@ -7,6 +7,8 @@ config. Vocabulary handling lives in ``mmvae_tpu.data.vocab``.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 
 from mmvae_tpu.ops import bernoulli_nll, masked_seq_ce
@@ -27,6 +29,8 @@ class CubMVAE(MVAEBase):
     # convs + depth-to-space (experts.py DeconvDecoder.upsample_mode)
     upsample_mode: str = "deconv"
     dtype: jnp.dtype = jnp.float32
+    # TP activation hooks for the conv chains (see CelebAMVAE.tp_mesh).
+    tp_mesh: Any = None
 
     def specs(self):
         return (
@@ -37,13 +41,15 @@ class CubMVAE(MVAEBase):
     def setup(self):
         kw = dict(dtype=self.dtype)
         self.image_enc = ConvEncoder(
-            self.n_latents, features=self.conv_features, **kw
+            self.n_latents, features=self.conv_features,
+            tp_mesh=self.tp_mesh, **kw
         )
         self.image_dec = DeconvDecoder(
             self.image_hw,
             channels=3,
             features=tuple(reversed(self.conv_features)),
             upsample_mode=self.upsample_mode,
+            tp_mesh=self.tp_mesh,
             **kw,
         )
         self.text_enc = SeqEncoder(

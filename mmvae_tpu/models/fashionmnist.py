@@ -5,6 +5,8 @@ Conv image encoder / deconv decoder + label expert.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 
 from mmvae_tpu.ops import bernoulli_nll, categorical_nll
@@ -24,6 +26,8 @@ class FashionMnistMVAE(MVAEBase):
     lambda_image: float = 1.0
     lambda_label: float = 10.0
     dtype: jnp.dtype = jnp.float32
+    # TP activation hooks for the conv chains (see CelebAMVAE.tp_mesh).
+    tp_mesh: Any = None
 
     def specs(self):
         return (
@@ -34,10 +38,12 @@ class FashionMnistMVAE(MVAEBase):
     def setup(self):
         kw = dict(dtype=self.dtype)
         self.image_enc = ConvEncoder(
-            self.n_latents, features=(32, 64), **kw
+            self.n_latents, features=(32, 64), tp_mesh=self.tp_mesh,
+            **kw
         )
         self.image_dec = DeconvDecoder(
-            self.image_hw, channels=1, features=(64, 32), **kw
+            self.image_hw, channels=1, features=(64, 32),
+            tp_mesh=self.tp_mesh, **kw
         )
         self.label_enc = LabelEncoder(self.n_latents, self.n_classes, **kw)
         self.label_dec = LabelDecoder(self.n_classes, **kw)

@@ -12,6 +12,8 @@ import jax.numpy as jnp
 
 from mmvae_tpu.ops import bernoulli_nll, masked_seq_ce
 from mmvae_tpu.models.base import ModalitySpec, MVAEBase
+from typing import Any
+
 from mmvae_tpu.models.experts import ConvEncoder, DeconvDecoder
 from mmvae_tpu.models.text import SeqDecoder, SeqEncoder
 
@@ -42,6 +44,8 @@ class MultiMnistMVAE(MVAEBase):
     # position-averaged haze. 0 = full-latent text expert (default).
     text_latent_dims: int = 0
     dtype: jnp.dtype = jnp.float32
+    # TP activation hooks for the conv chains (see CelebAMVAE.tp_mesh).
+    tp_mesh: Any = None
 
     def specs(self):
         return (
@@ -52,12 +56,14 @@ class MultiMnistMVAE(MVAEBase):
     def setup(self):
         kw = dict(dtype=self.dtype)
         self.image_enc = ConvEncoder(
-            self.n_latents, features=self.conv_features, **kw
+            self.n_latents, features=self.conv_features,
+            tp_mesh=self.tp_mesh, **kw
         )
         self.image_dec = DeconvDecoder(
             self.image_hw,
             channels=1,
             features=tuple(reversed(self.conv_features)),
+            tp_mesh=self.tp_mesh,
             **kw,
         )
         self.text_enc = SeqEncoder(

@@ -36,16 +36,21 @@ Layout rules (``tp_param_specs``):
   thin first/last image layers (3-channel RGB) replicate naturally
   via the divisibility rule.
 
-  HONEST SCOPE (HLO-inspected at tiny AND realistic widths, round 4):
-  GSPMD currently realizes the conv-chain layout by ALL-GATHERING the
-  sharded kernels and running the conv replicated on the model axis —
-  weight-memory sharding (ZeRO-style: params, moments and their grads
-  live model-sharded), NOT the Megatron activation-parallel schedule
-  it runs for the Dense stacks and banks. Parity holds either way
-  (tests/test_tp.py); forcing the activation-parallel conv schedule
-  would need in-model ``with_sharding_constraint`` hooks (the pp_mesh
-  pattern) and is left until a config exists whose conv width scaling
-  actually binds.
+  SCHEDULE (HLO-inspected at tiny AND realistic widths, round 5):
+  the conv chains run the same Megatron ACTIVATION-parallel schedule
+  as the Dense stacks — col layers compute channel-sharded outputs
+  with no collective, row layers contract sharded input channels into
+  one psum; zero kernel-shaped all-gathers in the production epoch
+  runner (asserted in tests/test_tp.py). Round 4 observed GSPMD
+  realizing this layout as a weight all-gather + replicated conv; the
+  cause was OUR ``train/step.py::_constrain_rows`` pinning decode
+  rows over the model axis too (conflicting with channel sharding),
+  fixed in round 5 — the same fix removed the bank-einsum backward
+  remat warnings round 4 recorded. The in-model ``tp_mesh`` hooks
+  (``models/experts.py::_tp_constrain``, built by
+  ``build_model(tp_mesh=...)`` on the training variant) pin the
+  activation layout explicitly so the schedule cannot silently
+  regress with compiler or width changes.
 * **Everything else replicates**: GRU cells, embeddings, scalars, and
   any kernel whose dim does not divide the model axis.
 
@@ -67,6 +72,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "make_mesh_2d",
+    "chain_assignments",
     "tp_param_specs",
     "tp_shard",
     "tp_batch_sharding",
@@ -122,27 +128,51 @@ def _is_bank(module: dict, n_shards: int) -> bool:
     )
 
 
+def chain_assignments(
+    dims: list[tuple[int, int]], n_shards: int
+) -> list[str]:
+    """Col/row/col/... assignment along one layer chain.
+
+    ``dims[i] = (col_dim, row_dim)``: the dims a col (output) or row
+    (input) sharding of layer ``i`` would split. A layer whose needed
+    dim does not divide replicates and the pattern continues on the
+    next layer. The chain must END replicated (its output feeds
+    fusion / NLL / a flatten boundary), so a trailing ``col`` demotes
+    to ``rep``.
+
+    This is THE layout decision, shared by ``tp_param_specs`` (kernel
+    layouts, walking the params tree) and the in-model activation
+    constraint hooks (``models/experts.py``, walking the execution
+    order) -- one function so the two can never disagree on a chain
+    whose params-tree order matches its execution order (true for
+    every single-layer-type chain; a decoder mixing Conv and
+    ConvTranspose in one chain -- the shuffle+space_to_depth combo --
+    may differ at the boundary and pays one GSPMD reshard there).
+    """
+    out: list[str] = []
+    want_col = True
+    for col_d, row_d in dims:
+        dim = col_d if want_col else row_d
+        if dim % n_shards == 0:
+            out.append("col" if want_col else "row")
+            want_col = not want_col
+        else:
+            out.append("rep")
+    if out and out[-1] == "col":
+        out[-1] = "rep"
+    return out
+
+
 def _chain_walk(
     module: dict, names: list[str], n_shards: int, col_dim, row_dim
 ) -> list[tuple[str, str]]:
-    """Assign col/row/col/... along one layer chain in index order; a
-    layer whose needed dim does not divide replicates and the pattern
-    continues on the next layer. The chain must END replicated (its
-    output feeds fusion / NLL / a flatten boundary), so a trailing
-    ``col`` demotes to ``rep``."""
-    out: list[tuple[str, str]] = []
-    want_col = True
-    for name in names:
-        kern = module[name]["kernel"]
-        dim = col_dim(kern) if want_col else row_dim(kern)
-        if dim % n_shards == 0:
-            out.append((name, "col" if want_col else "row"))
-            want_col = not want_col
-        else:
-            out.append((name, "rep"))
-    if out and out[-1][1] == "col":
-        out[-1] = (out[-1][0], "rep")
-    return out
+    """Assign col/row along one params-tree layer chain in index order
+    (see :func:`chain_assignments` for the shared decision rule)."""
+    dims = [
+        (col_dim(module[name]["kernel"]), row_dim(module[name]["kernel"]))
+        for name in names
+    ]
+    return list(zip(names, chain_assignments(dims, n_shards)))
 
 
 def _dense_specs(module: dict, n_shards: int, axis: str) -> dict:
