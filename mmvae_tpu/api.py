@@ -732,6 +732,15 @@ def train(
         if config.data_backend == "grain"
         else None
     )
+    ckpt_writer = None
+    if (
+        getattr(config, "ckpt_async", False)
+        and workdir is not None
+        and jax.process_count() == 1
+    ):
+        from mmvae_tpu.train.checkpoint import AsyncCheckpointWriter
+
+        ckpt_writer = AsyncCheckpointWriter(workdir)
     while epoch <= config.epochs:
         if in_program_gather:
             # Shuffle + gather run inside the program (state.rng seeds
@@ -907,6 +916,11 @@ def train(
                 # a rate far below (n_takes-1)/n_takes means the
                 # double-buffering degraded to inline gathering.
                 rec["stream_hit_rate"] = grain_stream.hit_rate
+            if ckpt_writer is not None:
+                # Overlapped-save health: skipped = save points
+                # coalesced because the I/O path was still draining.
+                rec["ckpt_saved"] = ckpt_writer.saved
+                rec["ckpt_skipped"] = ckpt_writer.skipped
             writer.write(rec)
         if verbose and primary:
             print(
@@ -916,22 +930,45 @@ def train(
             )
         # ckpt_every > 1 amortizes the save's device->host state fetch
         # (the dominant epoch cost for big models on a relay-attached
-        # chip); the final epoch always saves, and the best pointer
-        # names the best among SAVED epochs.
+        # chip); ckpt_async overlaps it instead (snapshot + async D2H
+        # + disk-only worker, coalescing when the I/O path is the
+        # bottleneck). The final epoch always saves SYNCHRONOUSLY, and
+        # the best pointer names the best among SAVED epochs.
+        if ckpt_writer is not None:
+            ckpt_writer.poll()
         if workdir is not None and (
             epoch % max(getattr(config, "ckpt_every", 1), 1) == 0
             or epoch == config.epochs
         ):
-            save_checkpoint(
-                workdir,
-                state,
-                epoch,
-                is_best=test_elbo < best_saved,
-                extra={"best_test_elbo": best},
-                keep_epochs=config.keep_epoch_ckpts,
-            )
-            best_saved = min(best_saved, test_elbo)
+            if ckpt_writer is not None and epoch != config.epochs:
+                if ckpt_writer.stage(
+                    state,
+                    epoch,
+                    is_best=test_elbo < best_saved,
+                    extra={"best_test_elbo": best},
+                    keep_epochs=config.keep_epoch_ckpts,
+                ):
+                    best_saved = min(best_saved, test_elbo)
+            else:
+                if ckpt_writer is not None:
+                    # Drain overlapped saves first so the final sync
+                    # save's pointer flip is the last word.
+                    ckpt_writer.finalize()
+                    ckpt_writer = None
+                save_checkpoint(
+                    workdir,
+                    state,
+                    epoch,
+                    is_best=test_elbo < best_saved,
+                    extra={"best_test_elbo": best},
+                    keep_epochs=config.keep_epoch_ckpts,
+                )
+                best_saved = min(best_saved, test_elbo)
         epoch += 1
+    if ckpt_writer is not None:
+        # Runs only when the loop exited without reaching the final
+        # epoch's sync save (resume from a completed run).
+        ckpt_writer.finalize()
     if grain_stream is not None:
         # Politeness on the normal path (a pending future from a
         # final-epoch rollback is cancelled/abandoned). On exception

@@ -47,7 +47,8 @@ def _overrides(args, config):
         "reshuffle_every", "warmup_epochs", "lr_schedule",
         "accum_steps", "shuffle_mode", "shuffle_granularity",
         "nan_rollback", "objective", "mvtcae_alpha", "tp", "pp",
-        "ckpt_every", "grain_stream_steps",
+        "ckpt_every", "grain_stream_steps", "ckpt_async",
+        "eval_segment_steps",
         "cross_recon_weight",
         "cross_recon_stopgrad",
         "unimodal_align_weight",
@@ -244,6 +245,20 @@ def _build_parser() -> argparse.ArgumentParser:
         "--ckpt-every", dest="ckpt_every", type=int,
         help="checkpoint every N epochs (default 1 = each epoch; the "
         "final epoch always saves; best tracks saved epochs)",
+    )
+    pt.add_argument(
+        "--ckpt-async", dest="ckpt_async", action="store_true",
+        default=None,
+        help="overlapped checkpointing: snapshot on device, stream to "
+        "host while training continues, serialize on a disk-only "
+        "worker; save points are coalesced when the I/O path is the "
+        "bottleneck (the final epoch always saves synchronously)",
+    )
+    pt.add_argument(
+        "--eval-segment-steps", dest="eval_segment_steps", type=int,
+        help="stream the eval split to device in K-batch segments "
+        "(bounded HBM; -1 = follow --grain-stream-steps on the grain "
+        "backend, 0 = whole split device-resident)",
     )
     pt.add_argument(
         "--tp", dest="tp", type=int,

@@ -146,6 +146,15 @@ class ExperimentConfig:
     fsdp: bool = False  # shard params + Adam moments over the data mesh
     # (ZeRO-3 via GSPMD, parallel/fsdp.py); default off -- these models
     # replicate trivially, the flag is the memory-scaling escape hatch
+    ckpt_async: bool = False  # overlapped checkpointing
+    # (train/checkpoint.py::AsyncCheckpointWriter): saves snapshot the
+    # state on-device, stream it to host WHILE training continues, and
+    # serialize/pointer-flip on a disk-only worker; a save point whose
+    # pipeline is still draining is coalesced (skipped) instead of
+    # stalling training. Bounded-resume semantics of ckpt_every with N
+    # picked by the I/O path; the final epoch always saves
+    # synchronously. Single-process only (multi-host keeps the
+    # collective sync path)
     ckpt_every: int = 1  # checkpoint every N epochs (1 = reference
     # semantics: save each epoch). The save's device->host fetch
     # dominates big-model epochs on a relay-attached chip (CUB-128:

@@ -23,6 +23,7 @@ from mmvae_tpu.train.state import TrainState
 
 __all__ = [
     "save_checkpoint",
+    "AsyncCheckpointWriter",
     "load_checkpoint",
     "latest_epoch",
     "epoch_checkpoints",
@@ -98,8 +99,28 @@ def save_checkpoint(
     unique-path + pointer-flip ordering, not by the force flag.
     """
     tree = _to_tree(state, {"epoch": epoch, **(extra or {})})
+    _serialize_and_flip(
+        workdir, tree, epoch, is_best, extra or {}, keep_epochs,
+        primary=jax.process_index() == 0,
+    )
+
+
+def _serialize_and_flip(
+    workdir: str,
+    tree: dict[str, Any],
+    epoch: int,
+    is_best: bool,
+    extra: dict[str, Any],
+    keep_epochs: int,
+    primary: bool = True,
+) -> None:
+    """Serialize ``tree`` to the epoch-tagged dirs, then flip the
+    pointer, then prune -- the crash-durable ordering documented on
+    :func:`save_checkpoint`. ``tree`` may hold jax arrays (the sync
+    path -- the save's device->host fetch happens here) or host numpy
+    (the async path's worker, which therefore does pure disk I/O and
+    never enters the jax runtime off the main thread)."""
     ckpt_dir = os.path.join(os.path.abspath(workdir), "ckpt")
-    primary = jax.process_index() == 0
     prev = _read_meta(ckpt_dir) if primary else {}
     last_name = f"last_{epoch:05d}"
     # Orbax writes atomically (tmp dir + rename) and saves async; wait so
@@ -126,7 +147,7 @@ def save_checkpoint(
         return
     meta: dict[str, Any] = {"epoch": int(epoch), "last_dir": last_name}
     meta["best_dir"] = last_name if is_best else prev.get("best_dir")
-    meta.update({k: float(v) for k, v in (extra or {}).items()})
+    meta.update({k: float(v) for k, v in extra.items()})
     _write_meta_atomic(ckpt_dir, meta)
     # Superseded directories go only AFTER the pointer flip, and never
     # a directory the new pointer still references (the best pointer
@@ -143,6 +164,142 @@ def save_checkpoint(
                 os.path.join(ckpt_dir, f"epoch_{old:05d}"),
                 ignore_errors=True,
             )
+
+
+class AsyncCheckpointWriter:
+    """Overlapped checkpoint pipeline (SURVEY.md section 5: "Orbax
+    async" checkpoint row; round-4 VERDICT weak #3).
+
+    The synchronous :func:`save_checkpoint` stalls training for the
+    state's device->host fetch -- the measured dominant epoch cost for
+    big models on a relay-attached chip (CUB-128: ~182 MB at
+    ~10-20 MB/s ≈ 9-11 s/epoch vs 2.5 s of compute+eval, BASELINE.md).
+    This writer overlaps all of it:
+
+    1. ``stage()`` (main thread, BEFORE the state is donated to the
+       next epoch's runner): snapshots the checkpoint tree with an
+       on-device copy (microseconds of HBM bandwidth), then starts a
+       non-blocking ``copy_to_host_async`` on every leaf -- the D2H
+       transfer streams through the relay WHILE the device trains
+       subsequent epochs.
+    2. ``poll()`` (main thread, once per epoch): when every staged
+       leaf reports ready, fetches the (already-landed) host values
+       and hands the pure-numpy tree to a serialize worker. The
+       worker runs Orbax + the pointer flip + pruning -- disk I/O
+       only, honoring the one-jax-thread rule (api._GrainStream's
+       documented axon-client hazard: every jax entry stays on the
+       main thread).
+    3. If a snapshot is still in flight when the next save point
+       arrives, that save is SKIPPED (coalesced): on an I/O path
+       slower than the epoch wall, checkpoints land as fast as the
+       path sustains and training never stalls -- same bounded-resume
+       semantics as ``ckpt_every=N`` with N chosen by the hardware
+       instead of the user. ``skipped`` counts them.
+
+    Durability ordering is unchanged: unique epoch-tagged dirs, the
+    ``last_meta.json`` pointer flips only after the serialize
+    completes, pruning strictly after the flip -- a kill at any
+    instant leaves a reachable complete checkpoint, and a crash while
+    a snapshot is in flight simply loses that (never-pointed-to)
+    snapshot. ``finalize()`` drains the pipeline and must be followed
+    by a synchronous save of the final state by the caller (the
+    "best model feeds sample.py" contract needs the last epoch on
+    disk before train() returns).
+
+    Single-process only: multi-host runs keep the synchronous
+    collective save path (api.train gates on process_count).
+    """
+
+    def __init__(self, workdir: str):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._workdir = workdir
+        self._pool = ThreadPoolExecutor(
+            1, thread_name_prefix="ckpt-serialize"
+        )
+        self._staged: tuple | None = None  # (tree, epoch, is_best, extra, keep)
+        self._inflight = None  # serialize future
+        self.saved = 0
+        self.skipped = 0
+
+    @property
+    def busy(self) -> bool:
+        """A snapshot is staged or a serialize is running."""
+        if self._staged is not None:
+            return True
+        return self._inflight is not None and not self._inflight.done()
+
+    def stage(
+        self,
+        state: TrainState,
+        epoch: int,
+        is_best: bool = False,
+        extra: dict[str, Any] | None = None,
+        keep_epochs: int = 0,
+    ) -> bool:
+        """Snapshot ``state`` for an overlapped save; False = skipped
+        because the pipeline is still draining the previous one."""
+        if self.busy:
+            self.skipped += 1
+            return False
+        tree = _to_tree(state, {"epoch": epoch, **(extra or {})})
+        # On-device copy: the caller's state buffers get DONATED to the
+        # next epoch's runner, so the snapshot must not alias them. HBM
+        # copy bandwidth makes this negligible next to one train step.
+        tree = jax.tree.map(
+            lambda x: jnp.copy(x) if hasattr(x, "devices") else x, tree
+        )
+        for leaf in jax.tree.leaves(tree):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+        self._staged = (
+            tree, int(epoch), bool(is_best), dict(extra or {}),
+            int(keep_epochs),
+        )
+        return True
+
+    def poll(self) -> None:
+        """Advance the pipeline, never blocking: when the staged
+        snapshot's D2H copies have all landed, move it to the
+        serialize worker."""
+        if self._staged is None:
+            return
+        tree = self._staged[0]
+        ready = all(
+            leaf.is_ready()
+            for leaf in jax.tree.leaves(tree)
+            if hasattr(leaf, "is_ready")
+        )
+        if not ready:
+            return
+        self._submit()
+
+    def _submit(self) -> None:
+        tree, epoch, is_best, extra, keep = self._staged
+        self._staged = None
+        # Fetch on the MAIN thread (the only honest jax entry point on
+        # the axon client); after is_ready() the values have landed and
+        # this is a host-memory copy, not a relay transfer.
+        host_tree = jax.tree.map(
+            lambda x: np.asarray(x) if hasattr(x, "devices") else x, tree
+        )
+        self._inflight = self._pool.submit(
+            _serialize_and_flip,
+            self._workdir, host_tree, epoch, is_best, extra, keep,
+        )
+        self.saved += 1
+
+    def finalize(self) -> None:
+        """Drain: block until the staged snapshot (if any) is fetched,
+        serialized, and pointer-flipped, then shut the worker down.
+        Exceptions from the worker surface here."""
+        if self._staged is not None:
+            # Blocking fetch of whatever is still in flight.
+            self._submit()
+        if self._inflight is not None:
+            self._inflight.result()
+            self._inflight = None
+        self._pool.shutdown(wait=True)
 
 
 def _resolve_ckpt_path(ckpt_dir: str, which: str) -> str | None:

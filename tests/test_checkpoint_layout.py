@@ -118,6 +118,101 @@ def test_legacy_inplace_layout_still_loads(tiny_state, tmp_path):
     assert latest_epoch(wd) == 4
 
 
+def test_async_writer_roundtrip_matches_sync(tiny_state, tmp_path):
+    """AsyncCheckpointWriter (stage -> poll -> finalize) writes the
+    same loadable layout as the synchronous save: pointer flipped only
+    on completion, params bit-identical, best aliasing intact."""
+    from mmvae_tpu.train.checkpoint import AsyncCheckpointWriter
+
+    wd = str(tmp_path / "async")
+    writer = AsyncCheckpointWriter(wd)
+    assert writer.stage(tiny_state, 1, is_best=True,
+                        extra={"best_test_elbo": -1.0})
+    # While staged/in flight, a second save point coalesces.
+    assert not writer.stage(tiny_state, 2)
+    assert writer.skipped == 1
+    writer.poll()
+    writer.finalize()
+    assert writer.saved == 1
+    assert latest_epoch(wd) == 1
+    loaded, extra = load_checkpoint(wd, tiny_state, which="best")
+    assert int(extra["epoch"]) == 1
+    assert extra["best_test_elbo"] == -1.0
+    _params_equal(loaded, tiny_state)
+
+    wd2 = str(tmp_path / "sync")
+    save_checkpoint(wd2, tiny_state, 1, is_best=True,
+                    extra={"best_test_elbo": -1.0})
+    sync_loaded, sync_extra = load_checkpoint(wd2, tiny_state, "best")
+    _params_equal(loaded, sync_loaded)
+    assert extra == sync_extra
+
+
+def test_async_snapshot_survives_donation(tmp_path):
+    """The staged snapshot is an on-device COPY: mutating (or donating)
+    the live state after stage() must not corrupt the saved values."""
+    import jax.numpy as jnp
+
+    from mmvae_tpu.models import MnistMVAE
+    from mmvae_tpu.train import create_train_state
+    from mmvae_tpu.train.checkpoint import AsyncCheckpointWriter
+
+    model = MnistMVAE(n_latents=8)
+    state = create_train_state(
+        model, model.dummy_batch(2), jax.random.key(0), 1e-3
+    )
+    want = {
+        k: np.asarray(v)
+        for k, v in jax.tree_util.tree_flatten_with_path(state.params)[0]
+    }
+    wd = str(tmp_path)
+    writer = AsyncCheckpointWriter(wd)
+    assert writer.stage(state, 1)
+    # Donate the live buffers to another jitted program.
+    burn = jax.jit(
+        lambda t: jax.tree.map(lambda x: x * 0 - 7.0, t),
+        donate_argnums=0,
+    )
+    _ = burn(state.params)
+    writer.finalize()
+    loaded, _ = load_checkpoint(wd, state, which="last")
+    for (k, v) in jax.tree_util.tree_flatten_with_path(loaded.params)[0]:
+        np.testing.assert_array_equal(np.asarray(v), want[k])
+
+
+def test_train_ckpt_async_end_to_end(tmp_path):
+    """config.ckpt_async end to end: overlapped saves land, the final
+    epoch saves synchronously, eval/resume work, and the JSONL carries
+    the saved/skipped counters."""
+    import json as json_
+
+    from mmvae_tpu import api
+    from mmvae_tpu.configs import get_config
+
+    cfg = get_config("mnist").replace(
+        n_latents=8, epochs=3, batch_size=32, train_size=64,
+        test_size=32, annealing_epochs=1, ckpt_async=True,
+    )
+    wd = str(tmp_path)
+    result = api.train(cfg, wd, use_mesh=False, verbose=False)
+    assert np.isfinite(result.best_test_elbo)
+    assert latest_epoch(wd) == 3  # final epoch synced
+    elbo = api.eval_elbo(cfg, workdir=wd)
+    assert np.isfinite(elbo)
+    with open(os.path.join(wd, "metrics.jsonl")) as f:
+        evals = [
+            json_.loads(ln)
+            for ln in f
+            if json_.loads(ln).get("kind") == "eval"
+        ]
+    assert "ckpt_saved" in evals[-1] and "ckpt_skipped" in evals[-1]
+    result2 = api.train(
+        cfg.replace(epochs=4), wd, use_mesh=False, verbose=False,
+        resume=True,
+    )
+    assert result2.history[0]["epoch"] == 4
+
+
 def test_ckpt_every_amortizes_saves(tmp_path):
     """config.ckpt_every=2: only every 2nd epoch (plus the final one)
     saves; best tracks saved epochs; eval/sample load the result."""
