@@ -192,6 +192,8 @@ class ConvEncoder(nn.Module):
     # unchanged.
     trunk_stages: int = 0
     trunk_depth: int = 1
+    trunk_rezero: bool = True  # zero-init residual gates (ReZero) --
+    # the trunk starts as an identity; see models/pipeline.py
     pp_mesh: Any = None
     pp_n_micro: int = 4
     # TP activation hooks: with a (data, model) mesh, conv outputs are
@@ -233,7 +235,7 @@ class ConvEncoder(nn.Module):
             h = PipelineTrunk(
                 self.trunk_stages, self.fc_hidden, self.trunk_depth,
                 dtype=self.dtype, pp_mesh=self.pp_mesh,
-                pp_n_micro=self.pp_n_micro,
+                pp_n_micro=self.pp_n_micro, rezero=self.trunk_rezero,
             )(h)
         out = nn.Dense(2 * self.n_latents, dtype=self.dtype)(h)
         out = out.astype(jnp.float32)
@@ -293,6 +295,7 @@ class DeconvDecoder(nn.Module):
     # sits between the latent-FC and the spatial projection.
     trunk_stages: int = 0
     trunk_depth: int = 1
+    trunk_rezero: bool = True  # see ConvEncoder.trunk_rezero
     pp_mesh: Any = None
     pp_n_micro: int = 4
     # TP activation hooks (see ConvEncoder.tp_mesh). Applied on the
@@ -318,7 +321,7 @@ class DeconvDecoder(nn.Module):
             h = PipelineTrunk(
                 self.trunk_stages, self.fc_hidden, self.trunk_depth,
                 dtype=self.dtype, pp_mesh=self.pp_mesh,
-                pp_n_micro=self.pp_n_micro,
+                pp_n_micro=self.pp_n_micro, rezero=self.trunk_rezero,
             )(h)
         h = swish(
             nn.Dense(base_h * base_w * self.features[0], dtype=self.dtype)(h)

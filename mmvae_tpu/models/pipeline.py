@@ -46,9 +46,23 @@ __all__ = ["PipelineTrunk", "DeepMnistMVAE", "DeepCubMVAE"]
 class PipelineTrunk(nn.Module):
     """Uniform-width residual MLP trunk with stage-stacked params.
 
-    Per stage: ``h + MLP_depth(h)`` (swish between layers), all widths
-    equal. Params: ``kernels (S, depth, W, W)``, ``biases (S, depth, W)``
-    — the leading S axis is the unit of pipeline sharding.
+    Per stage: ``h + alpha_s * MLP_depth(h)`` (swish between layers),
+    all widths equal. Params: ``kernels (S, depth, W, W)``,
+    ``biases (S, depth, W)``, ``alphas (S,)`` — the leading S axis is
+    the unit of pipeline sharding.
+
+    ``rezero`` (default on): the per-stage residual gates ``alpha_s``
+    initialize to ZERO, so the trunk starts as an exact identity and
+    the deep config's forward pass starts exactly at its shallow base
+    config's (ReZero, Bachlechner et al. 2021) — the round-5 attack on
+    the round-4 deep_cub quality cliff (48.6% exact captions at the
+    cub schedule vs cub's 96.7%: the ungated trunk injects 4 stages of
+    lecun-normal residual noise between the conv stack and the heads
+    at init, and the cub schedule never recovers; measurement in
+    BASELINE.md's deep_cub section). The gates are stage-stacked like
+    every trunk param, so both execution modes and the pipe-axis
+    sharding are unchanged. ``rezero=False`` keeps the round-4 ungated
+    tree (A/B + old-checkpoint escape hatch).
     """
 
     n_stages: int
@@ -57,6 +71,7 @@ class PipelineTrunk(nn.Module):
     dtype: jnp.dtype = jnp.float32
     pp_mesh: Any = None  # jax.sharding.Mesh (hashable) or None
     pp_n_micro: int = 4
+    rezero: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -67,25 +82,34 @@ class PipelineTrunk(nn.Module):
         biases = self.param("biases", nn.initializers.zeros, (s, d, w))
         k = kernels.astype(self.dtype)
         b = biases.astype(self.dtype)
+        if self.rezero:
+            alphas = self.param(
+                "alphas", nn.initializers.zeros, (s,)
+            ).astype(self.dtype)
 
         def stage_fn(p, h):
-            pk, pb = p  # (depth, W, W), (depth, W)
+            if self.rezero:
+                pk, pb, pa = p  # (depth, W, W), (depth, W), ()
+            else:
+                pk, pb = p
             y = h
             for i in range(d):  # static depth, unrolled inside the block
                 y = swish(y @ pk[i] + pb[i])
-            return h + y
+            # Total on zero-filled bubble activations (pp contract).
+            return h + (pa * y if self.rezero else y)
 
+        params = (k, b, alphas) if self.rezero else (k, b)
         h = x.astype(self.dtype)
         if self.pp_mesh is None:
             h, _ = jax.lax.scan(
-                lambda carry, p: (stage_fn(p, carry), None), h, (k, b)
+                lambda carry, p: (stage_fn(p, carry), None), h, params
             )
             return h
 
         from mmvae_tpu.parallel.pp import pipeline_apply
 
         return pipeline_apply(
-            stage_fn, (k, b), h,
+            stage_fn, params, h,
             mesh=self.pp_mesh, n_micro=self.pp_n_micro,
         )
 
@@ -98,6 +122,7 @@ class _TrunkEncoder(nn.Module):
     dtype: jnp.dtype
     pp_mesh: Any
     pp_n_micro: int
+    rezero: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -106,7 +131,7 @@ class _TrunkEncoder(nn.Module):
         h = PipelineTrunk(
             self.n_stages, self.width, self.block_depth,
             dtype=self.dtype, pp_mesh=self.pp_mesh,
-            pp_n_micro=self.pp_n_micro,
+            pp_n_micro=self.pp_n_micro, rezero=self.rezero,
         )(h)
         out = nn.Dense(2 * self.n_latents, dtype=self.dtype)(h)
         out = out.astype(jnp.float32)
@@ -121,6 +146,7 @@ class _TrunkDecoder(nn.Module):
     dtype: jnp.dtype
     pp_mesh: Any
     pp_n_micro: int
+    rezero: bool = True
 
     @nn.compact
     def __call__(self, z):
@@ -130,7 +156,7 @@ class _TrunkDecoder(nn.Module):
         h = PipelineTrunk(
             self.n_stages, self.width, self.block_depth,
             dtype=self.dtype, pp_mesh=self.pp_mesh,
-            pp_n_micro=self.pp_n_micro,
+            pp_n_micro=self.pp_n_micro, rezero=self.rezero,
         )(h)
         out_dim = 1
         for dim in self.out_shape:
@@ -147,6 +173,7 @@ class DeepMnistMVAE(MnistMVAE):
     trunk_stages: int = 4
     trunk_depth: int = 1
     trunk_width: int = 256
+    trunk_rezero: bool = True
     pp_mesh: Any = None
     pp_n_micro: int = 4
 
@@ -158,6 +185,7 @@ class DeepMnistMVAE(MnistMVAE):
             dtype=self.dtype,
             pp_mesh=self.pp_mesh,
             pp_n_micro=self.pp_n_micro,
+            rezero=self.trunk_rezero,
         )
         self.image_enc = _TrunkEncoder(self.n_latents, **trunk_kw)
         self.image_dec = _TrunkDecoder(tuple(self.image_hw), **trunk_kw)
@@ -188,6 +216,7 @@ class DeepCubMVAE(CubMVAE):
 
     trunk_stages: int = 4
     trunk_depth: int = 1
+    trunk_rezero: bool = True
     pp_mesh: Any = None
     pp_n_micro: int = 4
 
@@ -196,6 +225,7 @@ class DeepCubMVAE(CubMVAE):
         trunk_kw = dict(
             trunk_stages=self.trunk_stages,
             trunk_depth=self.trunk_depth,
+            trunk_rezero=self.trunk_rezero,
             pp_mesh=self.pp_mesh,
             pp_n_micro=self.pp_n_micro,
         )

@@ -251,6 +251,34 @@ def _tiny_cub_batch(n=16):
     }
 
 
+def test_rezero_trunk_is_identity_at_init():
+    """The ReZero gates (round-5 deep_cub quality attack) make a fresh
+    trunk an EXACT identity -- the deep model's forward starts at its
+    shallow base config's -- in both execution modes, and the gates
+    stage-shard like every trunk param."""
+    from mmvae_tpu.models.pipeline import PipelineTrunk
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 16)),
+                    jnp.float32)
+    trunk = PipelineTrunk(4, 16)
+    vs = trunk.init(jax.random.key(0), x)
+    assert vs["params"]["alphas"].shape == (4,)
+    np.testing.assert_array_equal(
+        np.asarray(trunk.apply(vs, x)), np.asarray(x)
+    )
+    mesh = make_mesh_pp(4)
+    piped = PipelineTrunk(4, 16, pp_mesh=mesh, pp_n_micro=2)
+    np.testing.assert_array_equal(
+        np.asarray(piped.apply(vs, x)), np.asarray(x)
+    )
+    specs = pp_param_specs({"PipelineTrunk_0": vs["params"]})
+    assert specs["PipelineTrunk_0"]["alphas"] == P("pipe")
+    # The ungated round-4 tree stays reachable (A/B escape hatch).
+    old = PipelineTrunk(4, 16, rezero=False)
+    ovs = old.init(jax.random.key(0), x)
+    assert "alphas" not in ovs["params"]
+
+
 def test_deep_cub_pp_matches_single_device():
     """PP on a REFERENCE-FAMILY config (VERDICT r3 missing #2): the
     DeepCubMVAE (CUB images+captions with bottleneck trunks) pipelined
