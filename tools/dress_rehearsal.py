@@ -236,6 +236,16 @@ def main():
     names = args.datasets.split(",")
     if not args.skip_gen:
         for name in names:
+            marker = {
+                "mnist": "mnist/train-images-idx3-ubyte",
+                "fashionmnist": "fashionmnist/train-images-idx3-ubyte",
+                "multimnist": None,  # mkdir-only, always cheap
+                "celeba": "celeba/list_attr_celeba.txt",
+                "cub": "cub/images",
+            }[name]
+            if marker and os.path.exists(os.path.join(args.root, marker)):
+                print(f"{name} tree present, reusing", flush=True)
+                continue
             print(f"generating {name} tree under {args.root} ...",
                   flush=True)
             t0 = time.time()

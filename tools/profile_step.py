@@ -1,7 +1,14 @@
 """Capture a jax.profiler trace of the train step and summarize it.
 
 Usage: python tools/profile_step.py [mnist|celeba] [float32|bfloat16]
-                                    [batch] [logdir]
+                                    [batch] [logdir] [stacked|gather]
+
+The 5th arg selects the epoch program: "stacked" (pre-stacked batches,
+the historical default here) or "gather" -- the in-program
+shuffle+gather runner ``bench.py``/``api.train`` actually run
+single-device, i.e. the program behind the driver's headline
+``BENCH_r*.json`` number (round-5: python tools/profile_step.py mnist
+float32 100 /tmp/trace_driver gather traces the exact driver point).
 
 Writes an XProf trace (view in Perfetto/XProf) and, when the trace
 contains device lanes, prints the top ops by self time -- the
@@ -40,20 +47,21 @@ def main() -> int:
     from mmvae_tpu.train import create_train_state, make_epoch_runner
     from mmvae_tpu.utils import trace
 
+    mode = sys.argv[5] if len(sys.argv) > 5 else "stacked"
     dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-    steps = 16
+    # "gather" mirrors bench.measure_jax's program shape (200 steps at
+    # the driver point); the pre-stacked program keeps the short epoch.
+    steps = 200 if mode == "gather" else 16
+    kwargs = dict(annealing_steps=1000)
     if which == "celeba":
         from mmvae_tpu.models import CelebAMVAE
 
         model = CelebAMVAE(n_latents=100, dtype=dt)
-        runner = make_epoch_runner(
-            model, n_random_subsets=4, annealing_steps=1000
-        )
+        kwargs["n_random_subsets"] = 4
     else:
         from mmvae_tpu.models import MnistMVAE
 
         model = MnistMVAE(n_latents=64, dtype=dt)
-        runner = make_epoch_runner(model, annealing_steps=1000)
     ds = load_dataset(which, n=batch * steps, seed=0)
     state = create_train_state(
         model,
@@ -61,13 +69,35 @@ def main() -> int:
         jax.random.key(0),
         1e-3,
     )
-    batches = stacked_epoch(ds, batch)
-    state, ms = runner(state, batches)  # compile + warm
-    float(np.asarray(ms["loss"]).sum())
+    if mode == "gather":
+        from mmvae_tpu.train import make_gather_epoch_runner
 
-    with trace(logdir):
-        state, ms = runner(state, batches)
-        float(np.asarray(ms["loss"]).sum())  # host fetch inside the trace
+        runner = make_gather_epoch_runner(
+            model, steps, batch, **kwargs
+        )
+        arrays = ds.arrays
+        state, arrays, ms = runner(state, arrays)  # compile + warm
+        float(np.asarray(ms["loss"]).sum())
+        import time
+
+        t0 = time.perf_counter()
+        with trace(logdir):
+            state, arrays, ms = runner(state, arrays)
+            float(np.asarray(ms["loss"]).sum())  # host fetch in trace
+        wall = time.perf_counter() - t0
+        print(
+            f"epoch wall inside trace: {wall:.4f}s "
+            f"({batch * steps / wall:,.0f} samples/s)"
+        )
+    else:
+        runner = make_epoch_runner(model, **kwargs)
+        batches = stacked_epoch(ds, batch)
+        state, ms = runner(state, batches)  # compile + warm
+        float(np.asarray(ms["loss"]).sum())
+
+        with trace(logdir):
+            state, ms = runner(state, batches)
+            float(np.asarray(ms["loss"]).sum())  # host fetch in trace
 
     print(f"trace written to {logdir}")
     _summarize(logdir)
