@@ -119,20 +119,36 @@ def test_legacy_inplace_layout_still_loads(tiny_state, tmp_path):
 
 
 def test_async_writer_roundtrip_matches_sync(tiny_state, tmp_path):
-    """AsyncCheckpointWriter (stage -> poll -> finalize) writes the
-    same loadable layout as the synchronous save: pointer flipped only
-    on completion, params bit-identical, best aliasing intact."""
+    """AsyncCheckpointWriter (stage -> worker fetch+serialize ->
+    finalize) writes the same loadable layout as the synchronous save:
+    pointer flipped only on completion, params bit-identical, best
+    aliasing intact -- and save points arriving while the pipeline
+    drains coalesce."""
+    import threading
+    from unittest import mock
+
+    import mmvae_tpu.train.checkpoint as ckpt_mod
     from mmvae_tpu.train.checkpoint import AsyncCheckpointWriter
 
     wd = str(tmp_path / "async")
     writer = AsyncCheckpointWriter(wd)
-    assert writer.stage(tiny_state, 1, is_best=True,
-                        extra={"best_test_elbo": -1.0})
-    # While staged/in flight, a second save point coalesces.
-    assert not writer.stage(tiny_state, 2)
-    assert writer.skipped == 1
-    writer.poll()
-    writer.finalize()
+    # Hold the worker at the serialize so the coalescing decision is
+    # deterministic (the real drain time is the D2H fetch + disk).
+    gate = threading.Event()
+    real = ckpt_mod._serialize_and_flip
+
+    def gated(*a, **kw):
+        gate.wait(timeout=30)
+        return real(*a, **kw)
+
+    with mock.patch.object(ckpt_mod, "_serialize_and_flip", gated):
+        assert writer.stage(tiny_state, 1, is_best=True,
+                            extra={"best_test_elbo": -1.0})
+        assert not writer.stage(tiny_state, 2)  # pipeline busy
+        assert writer.skipped == 1
+        writer.poll()  # non-blocking while in flight
+        gate.set()
+        writer.finalize()
     assert writer.saved == 1
     assert latest_epoch(wd) == 1
     loaded, extra = load_checkpoint(wd, tiny_state, which="best")
@@ -146,6 +162,30 @@ def test_async_writer_roundtrip_matches_sync(tiny_state, tmp_path):
     sync_loaded, sync_extra = load_checkpoint(wd2, tiny_state, "best")
     _params_equal(loaded, sync_loaded)
     assert extra == sync_extra
+
+
+def test_async_writer_worker_failure_surfaces(tiny_state, tmp_path):
+    """A failed overlapped save raises at the next poll() (or
+    finalize), never silently."""
+    from unittest import mock
+
+    import mmvae_tpu.train.checkpoint as ckpt_mod
+    from mmvae_tpu.train.checkpoint import AsyncCheckpointWriter
+
+    writer = AsyncCheckpointWriter(str(tmp_path))
+    with mock.patch.object(
+        ckpt_mod, "_serialize_and_flip",
+        side_effect=RuntimeError("disk full"),
+    ):
+        assert writer.stage(tiny_state, 1)
+        import time
+
+        for _ in range(100):  # wait for the worker to finish failing
+            if not writer.busy:
+                break
+            time.sleep(0.05)
+        with pytest.raises(RuntimeError, match="disk full"):
+            writer.poll()
 
 
 def test_async_snapshot_survives_donation(tmp_path):
