@@ -256,7 +256,11 @@ CONFIGS: dict[str, ExperimentConfig] = {
     # trunks at the image experts' bottlenecks; --pp == trunk_stages
     # runs them as GPipe pipelines over a (data, pipe) mesh while the
     # conv/text/fusion dataflow stays DP (models/pipeline.py
-    # ::DeepCubMVAE, DESIGN.md 14).
+    # ::DeepCubMVAE, DESIGN.md 14). Quality: parity with cub (99.8%
+    # exact captions at seed 1, round 5); NOTE the whole cub family's
+    # exact-match metrics are bimodal across seeds (85-100% vs ~50%
+    # basins at ~0.1% ELBO delta, BASELINE.md round-5 table) -- train
+    # 2 seeds for quality-critical runs and keep the better basin.
     "deep_cub": ExperimentConfig(
         name="deep_cub", dataset="cub", n_latents=256, batch_size=64,
         cross_recon=True, epochs=60, train_size=16000,
