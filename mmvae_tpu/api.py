@@ -36,6 +36,7 @@ __all__ = [
     "generate",
     "TrainResult",
     "load_run_config",
+    "resolve_eval_segments",
 ]
 
 
@@ -78,6 +79,22 @@ def load_run_config(workdir: str) -> ExperimentConfig | None:
     d["model_kwargs"] = _tuplify(d.get("model_kwargs", {}))
     d["data_kwargs"] = _tuplify(d.get("data_kwargs", {}))
     return ExperimentConfig(**d)
+
+
+def resolve_eval_segments(config) -> int:
+    """The effective eval-split segmenting for a config:
+    ``eval_segment_steps`` with -1 (auto) resolving to the grain
+    backend's ``grain_stream_steps`` (a dataset big enough to stream
+    for training should not pre-stack its eval split either), else 0.
+    One definition shared by ``train`` and the CLI eval command."""
+    segs = getattr(config, "eval_segment_steps", -1)
+    if segs < 0:
+        segs = (
+            getattr(config, "grain_stream_steps", 0)
+            if getattr(config, "data_backend", "device") == "grain"
+            else 0
+        )
+    return segs
 
 
 def _resolve_with_workdir(config, workdir: str | None) -> ExperimentConfig:
@@ -497,13 +514,7 @@ def train(
         # full-dataset round trip through the relay otherwise.
         device_put=(config.data_backend != "grain"),
     )
-    eval_segs = getattr(config, "eval_segment_steps", -1)
-    if eval_segs < 0:  # auto: streamed training implies streamed eval
-        eval_segs = (
-            config.grain_stream_steps
-            if config.data_backend == "grain"
-            else 0
-        )
+    eval_segs = resolve_eval_segments(config)
     test_ds = load_dataset(
         config.dataset, "test", n=config.test_size,
         gen_kwargs=config.data_kwargs,
@@ -733,14 +744,27 @@ def train(
         else None
     )
     ckpt_writer = None
-    if (
-        getattr(config, "ckpt_async", False)
-        and workdir is not None
-        and jax.process_count() == 1
-    ):
-        from mmvae_tpu.train.checkpoint import AsyncCheckpointWriter
+    if getattr(config, "ckpt_async", False) and workdir is not None:
+        if jax.process_count() == 1:
+            from mmvae_tpu.train.checkpoint import AsyncCheckpointWriter
 
-        ckpt_writer = AsyncCheckpointWriter(workdir)
+            ckpt_writer = AsyncCheckpointWriter(workdir)
+        else:
+            # Never silent (same discipline as the mesh-eval fallback):
+            # multi-host keeps the synchronous collective save path.
+            if verbose and primary:
+                print(
+                    f"[{config.name}] ckpt_async requested but this is "
+                    "a multi-host run; saves are synchronous "
+                    "(collective)"
+                )
+            if writer:
+                writer.write({
+                    "kind": "event",
+                    "event": "ckpt_async_fallback",
+                    "reason": "multi-host run; synchronous collective "
+                    "saves",
+                })
     while epoch <= config.epochs:
         if in_program_gather:
             # Shuffle + gather run inside the program (state.rng seeds
@@ -843,6 +867,12 @@ def train(
                     f"budget exhausted"
                 )
             rollbacks += 1
+            if ckpt_writer is not None:
+                # The restore below reads the pointer file and the
+                # checkpoint dirs; a concurrent worker flip/prune
+                # would race it -- and draining first also means the
+                # rollback restores the NEWEST durable state.
+                ckpt_writer.drain()
             from mmvae_tpu.train.checkpoint import latest_epoch
 
             restored = latest_epoch(workdir)
@@ -1117,20 +1147,25 @@ def _make_split_evaluator(
     """
     batch_size = min(batch_size, dataset.size)
     mesh, batch_size = _eval_mesh_batch(mesh, batch_size)
-    batches, valid = stacked_epoch_padded(dataset, batch_size)
-    batches["presence"] = (
-        valid[..., None]
-        * jnp.ones((model.n_modalities,), valid.dtype)
+    n_steps = -(-dataset.size // batch_size)
+    seg = n_steps if segment_steps <= 0 else min(segment_steps, n_steps)
+    n_segs = -(-n_steps // seg)
+    # The segmented lane stacks HOST-side: the default jnp stacking
+    # would commit the whole padded split to the device right here,
+    # defeating the O(1 segment) HBM residency (round-5 review).
+    batches, valid = stacked_epoch_padded(
+        dataset, batch_size, host=n_segs > 1
     )
+    ones = (np.ones if n_segs > 1 else jnp.ones)(
+        (model.n_modalities,), valid.dtype
+    )
+    batches["presence"] = valid[..., None] * ones
     sharding = _eval_mesh_sharding(mesh, batch_size)
     runner = _eval_runner(
         model, objective, mvtcae_alpha, member_prune,
         term_fold="t" if sharding is None else "b",
         mesh=None if sharding is None else mesh,
     )
-    n_steps = int(valid.shape[0])
-    seg = n_steps if segment_steps <= 0 else min(segment_steps, n_steps)
-    n_segs = -(-n_steps // seg)
 
     if n_segs == 1:
         if sharding is not None:
@@ -1152,7 +1187,6 @@ def _make_split_evaluator(
         total_steps = n_segs * seg
         host = {}
         for k, v in batches.items():
-            v = np.asarray(v)
             if total_steps > n_steps:
                 pad = np.zeros(
                     (total_steps - n_steps,) + v.shape[1:], v.dtype
@@ -1230,7 +1264,12 @@ def log_likelihood(
         )
     batch_size = min(batch_size or config.batch_size, dataset.size)
     mesh, batch_size = _eval_mesh_batch(mesh, batch_size)
-    batches, valid = stacked_epoch_padded(dataset, batch_size)
+    n_steps_pre = -(-dataset.size // batch_size)
+    segmenting = 0 < segment_steps < n_steps_pre
+    # Segmented lane: stack host-side (see _make_split_evaluator).
+    batches, valid = stacked_epoch_padded(
+        dataset, batch_size, host=segmenting
+    )
     sharding = _eval_mesh_sharding(mesh, batch_size)
 
     def make_runner():

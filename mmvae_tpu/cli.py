@@ -424,8 +424,13 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "eval":
+        # Honor the config's eval-split segmenting (beyond-HBM lane):
+        # a config that streams its eval split in train() must not
+        # pre-stack it device-resident here either (round-5 review).
+        eval_segs = api.resolve_eval_segments(config)
         elbo = api.eval_elbo(
-            config, workdir=args.workdir, split=args.split, dtype=dtype
+            config, workdir=args.workdir, split=args.split, dtype=dtype,
+            segment_steps=eval_segs,
         )
         out = {"split": args.split, "elbo": elbo}
         if args.iwae_k > 0:
@@ -435,6 +440,7 @@ def main(argv=None) -> int:
                 split=args.split,
                 k=args.iwae_k,
                 dtype=dtype,
+                segment_steps=eval_segs,
             )
             out["iwae_k"] = args.iwae_k
         print(json.dumps(out))

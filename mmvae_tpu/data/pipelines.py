@@ -219,7 +219,7 @@ def stacked_epoch(
 
 
 def stacked_epoch_padded(
-    dataset: Dataset, batch_size: int
+    dataset: Dataset, batch_size: int, host: bool = False
 ) -> tuple[dict[str, jnp.ndarray], jnp.ndarray]:
     """The whole split pre-stacked to ``(ceil(size/bs), bs, ...)``.
 
@@ -230,15 +230,28 @@ def stacked_epoch_padded(
     presence mask, so pad rows contribute exactly zero to every ELBO
     term (prior posterior -> KL 0; masked recon -> 0) and the caller
     recovers the true split mean as ``sum(batch_means) * bs / size``.
+
+    ``host=True`` stacks with numpy and returns HOST arrays -- the
+    segmented (beyond-HBM) eval lane's requirement: the default
+    ``jnp.take`` would commit the whole stacked split to the default
+    device at construction, defeating the O(1 segment) residency the
+    lane exists for (round-5 review finding).
     """
     size = dataset.size
     n_steps = -(-size // batch_size)
     total = n_steps * batch_size
     idx = np.arange(total) % size
     valid = (np.arange(total) < size).astype(np.float32)
+    valid = valid.reshape(n_steps, batch_size)
+    if host:
+        idx_h = idx.reshape(n_steps, batch_size)
+        out = {
+            k: np.asarray(v)[idx_h] for k, v in dataset.arrays.items()
+        }
+        return out, valid
     idx_j = jnp.asarray(idx.reshape(n_steps, batch_size))
     out = {k: jnp.take(v, idx_j, axis=0) for k, v in dataset.arrays.items()}
-    return out, jnp.asarray(valid.reshape(n_steps, batch_size))
+    return out, jnp.asarray(valid)
 
 
 def sample_presence(

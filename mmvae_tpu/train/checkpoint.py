@@ -285,13 +285,20 @@ class AsyncCheckpointWriter:
         )
         self.saved += 1
 
-    def finalize(self) -> None:
-        """Drain: block until any in-flight snapshot is fetched,
-        serialized, and pointer-flipped, then shut the worker down.
-        Exceptions from the worker surface here."""
+    def drain(self) -> None:
+        """Block until any in-flight snapshot is fetched, serialized,
+        and pointer-flipped (worker exceptions surface here); the
+        writer stays usable. Callers about to READ the checkpoint
+        layout (nan_rollback's restore) must drain first -- a
+        concurrent pointer flip + superseded-dir prune would race the
+        restore's directory reads (round-5 review finding)."""
         if self._inflight is not None:
             self._inflight.result()
             self._inflight = None
+
+    def finalize(self) -> None:
+        """Drain, then shut the worker down."""
+        self.drain()
         self._pool.shutdown(wait=True)
 
 

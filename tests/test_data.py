@@ -183,6 +183,23 @@ def test_idx_ingestion_matches_synthetic_shapes(tmp_path, monkeypatch):
     assert ts.size == 4 and ts.arrays["image"].shape == (4, 28, 28)
 
 
+def test_stacked_epoch_padded_host_mode():
+    """host=True returns HOST numpy stacks bit-equal to the device
+    stacking -- the segmented (beyond-HBM) eval lane depends on the
+    split never touching the device at construction (round-5 review)."""
+    from mmvae_tpu.data import load_dataset
+    from mmvae_tpu.data.pipelines import stacked_epoch_padded
+
+    ds = load_dataset("mnist", n=40, seed=0, device_put=False)
+    dev_b, dev_v = stacked_epoch_padded(ds, 16)
+    host_b, host_v = stacked_epoch_padded(ds, 16, host=True)
+    assert all(isinstance(v, np.ndarray) for v in host_b.values())
+    assert isinstance(host_v, np.ndarray)
+    for k in dev_b:
+        np.testing.assert_array_equal(host_b[k], np.asarray(dev_b[k]))
+    np.testing.assert_array_equal(host_v, np.asarray(dev_v))
+
+
 def test_multimnist_composites_real_idx_digits(tmp_path, monkeypatch):
     """MultiMNIST's disk lane composites REAL MNIST IDX digits (the
     reference's provenance, SURVEY.md 2.10): every canvas pixel comes

@@ -176,6 +176,40 @@ def gen_cub_tree(root: str, n=11788, n_classes=200, chunk=2000) -> None:
         )
 
 
+def _tree_present(root: str, name: str, args) -> bool:
+    """True when an existing tree matches the REQUESTED cardinality.
+
+    Existence alone is not enough: reusing a smaller tree (e.g. from a
+    --celeba-n smoke run) would silently rehearse fewer examples than
+    the sizes table records -- measurement contamination (round-5
+    review finding). multimnist is mkdir-only (always regenerated
+    cheaply), so it never claims presence."""
+    if name in ("mnist", "fashionmnist"):
+        p = os.path.join(root, name, "train-images-idx3-ubyte")
+        if not os.path.exists(p):
+            return False
+        from mmvae_tpu.data.formats import read_idx
+
+        return read_idx(p).shape[0] >= 60000
+    if name == "celeba":
+        p = os.path.join(root, "celeba", "list_attr_celeba.txt")
+        if not os.path.exists(p):
+            return False
+        with open(p) as f:
+            first = f.readline().strip()
+        return first.isdigit() and int(first) >= args.celeba_n
+    if name == "cub":
+        img_root = os.path.join(root, "cub", "images")
+        if not os.path.isdir(img_root):
+            return False
+        n = sum(
+            len([f for f in files if f.lower().endswith(".jpg")])
+            for _, _, files in os.walk(img_root)
+        )
+        return n >= args.cub_n
+    return False
+
+
 # ---------------------------------------------------------------- train
 def rehearse(name: str, root: str, epochs: int, train_size: int,
              test_size: int, data_dtype: str = "uint8") -> dict:
@@ -236,15 +270,9 @@ def main():
     names = args.datasets.split(",")
     if not args.skip_gen:
         for name in names:
-            marker = {
-                "mnist": "mnist/train-images-idx3-ubyte",
-                "fashionmnist": "fashionmnist/train-images-idx3-ubyte",
-                "multimnist": None,  # mkdir-only, always cheap
-                "celeba": "celeba/list_attr_celeba.txt",
-                "cub": "cub/images",
-            }[name]
-            if marker and os.path.exists(os.path.join(args.root, marker)):
-                print(f"{name} tree present, reusing", flush=True)
+            if _tree_present(args.root, name, args):
+                print(f"{name} tree present at the requested size, "
+                      "reusing", flush=True)
                 continue
             print(f"generating {name} tree under {args.root} ...",
                   flush=True)

@@ -30,8 +30,7 @@ python tools/quality_check.py celeba $RUNS/celeba
 python -m mmvae_tpu.cli train --config cub --workdir $RUNS/cub
 python tools/quality_check.py cub $RUNS/cub
 
-python bench.py
-python bench.py celeba
+python bench.py  # emits BOTH metric lines (mnist + celeba) since round 5
 
 # CUB at 128x128 (round 3): the largest configuration -- promoted
 # capacity settings + 5-level conv stack + grad clipping (unclipped,
